@@ -1,0 +1,207 @@
+"""HTML main-content extraction (Boilerpipe/Readability-style, deterministic).
+
+Replaces the reference's nondeterministic LLM extraction
+(reference: src/ai/flows/extract-data-from-pdf.ts:40-56,150-154 — Gemini
+multimodal prompt) with deterministic DOM heuristics, per BASELINE.json:6
+north_star: "batch-tokenizes raw HTML byte streams into a DOM, applies
+Boilerpipe/Readability-style heuristics (text-density, link-density,
+tag-path depth, block fusion) to strip boilerplate".
+
+Model
+-----
+The tokenizer flattens the document into *atomic text blocks* (the
+Boilerpipe block model): text accumulates into the current block; opening or
+closing any block-level element flushes it.  Each block records
+
+  - ``text``          (entity-decoded, whitespace-collapsed; normalize.py N1+N2)
+  - ``n_words``       word count of ``text``
+  - ``anchor_chars``  characters emitted while inside an ``<a>`` element
+  - ``link_density``  anchor_chars / len(raw concatenated text)
+  - ``depth``         element-stack depth at flush time (tag-path depth)
+
+Classification (frozen v1):
+  C1. A block is MAIN if ``link_density < 0.33`` and ``n_words >= 10``.
+  C2. Fusion: an unlabeled block with ``n_words >= 3`` and
+      ``link_density < 0.33`` that is immediately adjacent (in block order)
+      to a MAIN block becomes MAIN; repeat to fixpoint.  (Deterministic:
+      monotone closure, order-independent.)
+  C3. Document text and spans follow normalize.py N3-N5.
+
+Error channel (reference semantics: never abort the batch, always emit the
+full default payload — extract-data-from-pdf.ts:87-91,156-173):
+  - no MAIN blocks         -> text="", spans=[], error="NO_CONTENT"
+  - html is NULL/empty     -> text="", spans=[], error="EMPTY_INPUT"
+  - len(html) > size cap   -> text="", spans=[], error="DOC_TOO_LARGE:<n>"
+  - parser raised          -> text="", spans=[], error="PARSE_ERROR:<type>"
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from html.parser import HTMLParser
+
+from ocr_spark.normalize import collapse_ws, join_blocks
+
+# Elements whose open OR close flushes the current atomic text block.
+BLOCK_TAGS = frozenset(
+    """address article aside blockquote body br caption dd div dl dt fieldset
+    figcaption figure footer form h1 h2 h3 h4 h5 h6 header hr html li main
+    nav ol option p pre section select table tbody td tfoot th thead tr ul
+    """.split()
+)
+
+# Elements whose entire content is never text (dropped during tokenize).
+IGNORE_TAGS = frozenset("script style noscript template head title svg iframe".split())
+
+MAIN_LINK_DENSITY_MAX = 0.33
+MAIN_MIN_WORDS = 10
+FUSE_MIN_WORDS = 3
+DEFAULT_MAX_HTML_BYTES = 8 * 1024 * 1024
+
+ERR_EMPTY = "EMPTY_INPUT"
+ERR_NO_CONTENT = "NO_CONTENT"
+ERR_TOO_LARGE = "DOC_TOO_LARGE"
+ERR_PARSE = "PARSE_ERROR"
+
+
+@dataclass
+class Block:
+    text: str
+    n_words: int
+    anchor_chars: int
+    raw_chars: int
+    depth: int
+
+    @property
+    def link_density(self) -> float:
+        return self.anchor_chars / self.raw_chars if self.raw_chars else 0.0
+
+
+class _BlockTokenizer(HTMLParser):
+    """SAX-style flattener: HTML -> list[Block].  convert_charrefs=True makes
+    the stdlib parser decode entities before handle_data (normalize rule N1).
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._buf: list[str] = []
+        self._anchor_chars = 0
+        self._anchor_depth = 0
+        self._ignore_depth = 0
+        self._depth = 0
+
+    # -- flush ------------------------------------------------------------
+    def _flush(self) -> None:
+        raw = "".join(self._buf)
+        self._buf.clear()
+        anchor = self._anchor_chars
+        self._anchor_chars = 0
+        text = collapse_ws(raw)
+        if not text:
+            return
+        self.blocks.append(
+            Block(
+                text=text,
+                n_words=len(text.split(" ")),
+                anchor_chars=anchor,
+                raw_chars=len(raw.strip()) or len(raw),
+                depth=self._depth,
+            )
+        )
+
+    # -- parser callbacks -------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in IGNORE_TAGS:
+            self._ignore_depth += 1
+            return
+        if self._ignore_depth:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+        if tag == "a":
+            self._anchor_depth += 1
+        self._depth += 1
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if self._ignore_depth:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in IGNORE_TAGS:
+            self._ignore_depth = max(0, self._ignore_depth - 1)
+            return
+        if self._ignore_depth:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+        if tag == "a":
+            self._anchor_depth = max(0, self._anchor_depth - 1)
+        self._depth = max(0, self._depth - 1)
+
+    def handle_data(self, data: str) -> None:
+        if self._ignore_depth or not data:
+            return
+        self._buf.append(data)
+        if self._anchor_depth:
+            self._anchor_chars += len(data.strip()) or len(data)
+
+    def close(self) -> None:
+        super().close()
+        self._flush()
+
+
+def tokenize_blocks(html: str) -> list[Block]:
+    p = _BlockTokenizer()
+    p.feed(html)
+    p.close()
+    return p.blocks
+
+
+def classify_main(blocks: list[Block]) -> list[bool]:
+    """Frozen rules C1+C2."""
+    is_main = [
+        b.link_density < MAIN_LINK_DENSITY_MAX and b.n_words >= MAIN_MIN_WORDS
+        for b in blocks
+    ]
+    fusable = [
+        b.link_density < MAIN_LINK_DENSITY_MAX and b.n_words >= FUSE_MIN_WORDS
+        for b in blocks
+    ]
+    changed = True
+    while changed:
+        changed = False
+        for i, b in enumerate(blocks):
+            if is_main[i] or not fusable[i]:
+                continue
+            if (i > 0 and is_main[i - 1]) or (i + 1 < len(blocks) and is_main[i + 1]):
+                is_main[i] = True
+                changed = True
+    return is_main
+
+
+def extract_html_doc(
+    html: bytes | None, max_bytes: int = DEFAULT_MAX_HTML_BYTES
+) -> tuple[str, list[tuple[str, int, int]], int, str | None]:
+    """One document: html bytes -> (text, spans, n_blocks, error).
+
+    Never raises (reference error-channel semantics E6,
+    extract-data-from-pdf.ts:156-173).
+    """
+    if html is None or len(html) == 0:
+        return "", [], 0, ERR_EMPTY
+    if len(html) > max_bytes:
+        return "", [], 0, f"{ERR_TOO_LARGE}:{len(html)}"
+    try:
+        decoded = html.decode("utf-8", errors="replace")
+        blocks = tokenize_blocks(decoded)
+        is_main = classify_main(blocks)
+        main_texts = [b.text for b, m in zip(blocks, is_main) if m]
+    except Exception as e:  # noqa: BLE001 — contractual: never abort the batch
+        return "", [], 0, f"{ERR_PARSE}:{type(e).__name__}"
+    if not main_texts:
+        return "", [], 0, ERR_NO_CONTENT
+    text, spans = join_blocks(main_texts)
+    return text, spans, len(main_texts), None

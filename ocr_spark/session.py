@@ -1,0 +1,67 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the extraction workload: wide binary ``html`` column flowing into
+Arrow-vectorized pandas UDFs.  The same config block is what we would ship in
+``spark-submit --conf`` on a real multi-executor cluster; in this sandbox the
+master is ``local[N]``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batches carry the raw html bytes (2–200 KB/doc, long-tailed).  The
+# default 10k rows/batch would make multi-GB batches; 512 rows * ~20 KB avg
+# keeps a batch ~10 MB — small enough for the Python worker heap, large
+# enough to amortize the JVM<->Python Arrow channel.
+ARROW_BATCH_ROWS = 512
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_session(
+    app_name: str = "ocr_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cores = cores or default_parallelism()
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        # ---- planner / AQE ------------------------------------------------
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # ---- Arrow / pandas-UDF channel ----------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
+        )
+        # ---- determinism for the DuckDB oracle ---------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # ---- stragglers: extraction time varies ~100x by doc size --------
+        .config("spark.speculation", "true")
+        # ---- local-mode memory (driver == the one JVM) -------------------
+        .config("spark.driver.memory", os.environ.get("OCR_SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def get_or_create(app_name: str = "ocr_spark") -> SparkSession:
+    """Reuse an active session if one exists (pytest shares one)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    return build_session(app_name)
