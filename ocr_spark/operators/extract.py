@@ -1,0 +1,103 @@
+"""The flagship extraction stage: pages -> extracted.
+
+Spark shape (SURVEY.md §3.1): scan -> one ArrowEvalPython projection -> sink.
+Zero shuffles in steady state; the pandas UDF replaces the reference's
+browser->server->Vision/Gemini round-trips
+(reference: src/ai/flows/extract-data-from-pdf.ts:78-175) with an in-process
+Arrow-vectorized kernel.
+
+Engine dispatch mirrors reference E4 (extract-data-from-pdf.ts:96,150 —
+``if (extractionEngine === 'googleCloudVision') ... else ...``) as two
+filtered branches + unionByName:
+
+- engine ``dom``  — the DOM-heuristic branch over raw ``html`` bytes
+  (stand-in for engine B, direct multimodal extraction).
+- engine ``wet``  — pass-through of the crawl's pre-extracted ``text``
+  column when ``html`` is absent (stand-in for engine A's external-OCR-text
+  path: text arrives already flat, we only normalize it).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ocr_spark.functions.html_extract import DEFAULT_MAX_HTML_BYTES, extract_html_doc
+from ocr_spark.schemas import EXTRACT_RESULT_TYPE
+
+ENGINE_DOM = "dom"
+ENGINE_WET = "wet"
+
+
+@pandas_udf(EXTRACT_RESULT_TYPE)
+def extract_html_udf(html: pd.Series) -> pd.DataFrame:
+    """Vectorized E2+E3: html bytes -> (text, spans, n_blocks, error)."""
+    texts: list[str] = []
+    spans: list[list[dict]] = []
+    n_blocks: list[int] = []
+    errors: list[str | None] = []
+    for doc in html:
+        t, sp, nb, err = extract_html_doc(doc, DEFAULT_MAX_HTML_BYTES)
+        texts.append(t)
+        spans.append([{"field": f, "begin": b, "end": e} for f, b, e in sp])
+        n_blocks.append(nb)
+        errors.append(err)
+    return pd.DataFrame(
+        {"text": texts, "spans": spans, "n_blocks": n_blocks, "error": errors}
+    )
+
+
+def _finalize(df: DataFrame, engine: str) -> DataFrame:
+    """Common projection: flatten the kernel struct, default-coalesce (E5)."""
+    return df.select(
+        "url",
+        "warc_ts",
+        "lang",
+        F.coalesce(F.col("_r.text"), F.lit("")).alias("text"),
+        F.coalesce(F.col("_r.spans"), F.array()).alias("spans"),
+        F.coalesce(F.col("_r.n_blocks"), F.lit(0)).alias("n_blocks"),
+        F.col("_r.error").alias("error"),
+        F.lit(engine).alias("engine"),
+    )
+
+
+def extract_pages(pages: DataFrame, engine: str = "auto") -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> extracted (EXTRACTED_SCHEMA).
+
+    ``engine='auto'`` routes rows with html through the DOM branch and
+    html-less rows with crawl text through the WET pass-through (E4).
+    """
+    if engine == ENGINE_DOM:
+        return _finalize(
+            pages.withColumn("_r", extract_html_udf(F.col("html"))), ENGINE_DOM
+        )
+    if engine == ENGINE_WET:
+        return _wet_branch(pages)
+    dom = _finalize(
+        pages.filter(F.col("html").isNotNull()).withColumn(
+            "_r", extract_html_udf(F.col("html"))
+        ),
+        ENGINE_DOM,
+    )
+    wet = _wet_branch(pages.filter(F.col("html").isNull()))
+    return dom.unionByName(wet)
+
+
+def _wet_branch(pages: DataFrame) -> DataFrame:
+    """WET pass-through: normalize the crawl-provided text JVM-side (no UDF
+    needed — regexp whitespace collapse is the whole N2 rule for flat text)."""
+    norm = F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\s+", " "))
+    return pages.select(
+        "url",
+        "warc_ts",
+        "lang",
+        norm.alias("text"),
+        F.array().cast("array<struct<field:string,begin:bigint,end:bigint>>").alias(
+            "spans"
+        ),
+        F.when(norm != "", F.lit(1)).otherwise(F.lit(0)).alias("n_blocks"),
+        F.when(norm == "", F.lit("EMPTY_INPUT")).otherwise(F.lit(None).cast("string")).alias("error"),
+        F.lit(ENGINE_WET).alias("engine"),
+    )

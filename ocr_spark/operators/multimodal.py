@@ -1,0 +1,100 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
+signatures) is real and tested; the actual codec work is stubbed — the
+image/audio libraries are not in this container, so ``decode_image_udf``
+raises ``NotImplementedError`` unless ``deterministic_fake=True``, in which
+case a seeded fake decoder produces stable metadata from the bytes alone
+(so the distributed path is exercised end-to-end).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("content_type", T.StringType(), True),
+    ]
+)
+
+IMAGE_META_TYPE = T.StructType(
+    [
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_channels", T.IntegerType(), False),
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def _fake_decode(payload: bytes | None) -> dict:
+    if payload is None or len(payload) == 0:
+        return {"width": 0, "height": 0, "n_channels": 0, "sha256": "", "error": "EMPTY_INPUT"}
+    h = hashlib.sha256(payload).hexdigest()
+    # deterministic fake geometry derived from the digest
+    return {
+        "width": 64 + int(h[:4], 16) % 1984,
+        "height": 64 + int(h[4:8], 16) % 1984,
+        "n_channels": 1 + int(h[8], 16) % 4,
+        "sha256": h,
+        "error": None,
+    }
+
+
+def decode_images(
+    media: DataFrame, deterministic_fake: bool = False, batch_schema: str | None = None
+) -> DataFrame:
+    """image rows -> decoded metadata via mapInPandas (Arrow batches carry
+    the binary payload; no base64, reference S3 eliminated).
+
+    Real decoding (PIL/libvips) is NOT available in this container — with
+    ``deterministic_fake=False`` the stage raises NotImplementedError at
+    execution time, documenting exactly where the codec plugs in.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("meta", IMAGE_META_TYPE, False),
+        ]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "image decoding requires PIL/libvips — not in this container; "
+                    "pass deterministic_fake=True to exercise the pipeline"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "meta": [_fake_decode(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(fn, out_schema)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling *plan*: explodes frame indexes JVM-side from
+    (stubbed) duration metadata; the decode itself is the same
+    NotImplementedError boundary as images."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .withColumn("n_frames", (F.length("payload") / 1024).cast("int"))
+        .withColumn(
+            "frame_idx",
+            F.explode(F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))),
+        )
+        .select("media_id", "frame_idx")
+    )

@@ -1,0 +1,110 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``     — brute-force exact top-k: JVM-side dot product via
+  ``zip_with``/``aggregate`` against a literal query vector, then a global
+  top-k (``orderBy(desc).limit(k)`` — Spark executes this as per-partition
+  TakeOrdered + merge, no full sort shuffle).
+- ``ivf_topk``        — the scale path: k-means-lite (deterministic seeded
+  centroid init + a few Lloyd iterations driver-side on a sample), assign
+  every vector to its nearest centroid (JVM expression over a broadcast
+  centroid literal array), search only the ``n_probe`` closest clusters.
+  At 10^9+ vectors this turns a full scan into a ~n_probe/n_lists fraction.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_lit(vec_col, q: list[float]):
+    return F.aggregate(
+        F.zip_with(vec_col, F.array(*[F.lit(float(x)) for x in q]), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm_col(vec_col):
+    return F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query`` (JVM-side, no UDF)."""
+    qn = math.sqrt(sum(x * x for x in query)) or 1.0
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cos = _dot_lit(vec, query) / (_norm_col(vec) * F.lit(qn))
+    return (
+        df.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _kmeans_lite(
+    sample: list[list[float]], n_lists: int, iters: int = 5
+) -> list[list[float]]:
+    """Deterministic Lloyd's on a driver-side sample: first n_lists sample
+    points (by stable order) seed the centroids."""
+    cents = [list(sample[i % len(sample)]) for i in range(n_lists)]
+    for _ in range(iters):
+        sums = [[0.0] * len(cents[0]) for _ in range(n_lists)]
+        counts = [0] * n_lists
+        for v in sample:
+            best, bd = 0, float("inf")
+            for ci, c in enumerate(cents):
+                d = sum((a - b) ** 2 for a, b in zip(v, c))
+                if d < bd:
+                    best, bd = ci, d
+            counts[best] += 1
+            for j, x in enumerate(v):
+                sums[best][j] += x
+        for ci in range(n_lists):
+            if counts[ci]:
+                cents[ci] = [s / counts[ci] for s in sums[ci]]
+    return cents
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 512,
+) -> DataFrame:
+    """IVF-style ANN: restrict the scan to the n_probe nearest centroids."""
+    sample = [
+        [float(x) for x in r[vec_col]]
+        for r in df.select(vec_col).orderBy(F.col(id_col)).limit(sample_rows).collect()
+    ]
+    if not sample:
+        return cosine_topk(df, query, k, id_col, vec_col)
+    cents = _kmeans_lite(sample, n_lists)
+
+    def dist2_to(c: list[float], vec):
+        return F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dists = F.array(*[dist2_to(c, vec) for c in cents])
+    assigned = df.withColumn("_list", F.array_position(dists, F.array_min(dists)) - 1)
+
+    qd = [(sum((a - b) ** 2 for a, b in zip(query, c)), i) for i, c in enumerate(cents)]
+    probe = [i for _, i in sorted(qd)[:n_probe]]
+    return cosine_topk(
+        assigned.filter(F.col("_list").isin(probe)), query, k, id_col, vec_col
+    )

@@ -1,0 +1,108 @@
+"""Text-analysis operators over a documents table.
+
+Two tiers by design:
+- **JVM-side** (token counts, quality ratios): pure ``pyspark.sql.functions``
+  expressions inside whole-stage codegen — these have DuckDB oracle SQL.
+- **Kernel-side** (language ID, simhash, winnowing fingerprints): vectorized
+  pandas UDFs over ``ocr_spark.functions.textstats`` — deterministic, pytest
+  golden-checked, rows-only for the driver oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ocr_spark.functions import textstats as K
+
+# ---------------------------------------------------------------------------
+# JVM-side (oracle-matchable)
+# ---------------------------------------------------------------------------
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword proxy (codegen, no UDF).
+
+    ``n_subwords`` counts maximal runs of [A-Za-z0-9] plus single
+    non-alphanumeric non-space chars — a deterministic stand-in for a BPE
+    pre-tokenizer's piece count.
+    """
+    t = F.col(text_col)
+    return df.withColumn(
+        "n_tokens",
+        F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+            F.size(F.split(F.trim(t), r"\s+"))
+        ),
+    ).withColumn(
+        "n_subwords",
+        F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)),
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality signals (codegen)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    )
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[.,;:!?]"), 0))
+    stop = r"(?i)\b(the|of|and|to|in|a|is|that|it|for)\b"
+    n_stop = F.size(F.regexp_extract_all(t, F.lit(stop), 0))
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_words_q", n_words)
+        .withColumn(
+            "punct_ratio",
+            F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(n_stop / F.greatest(n_words, F.lit(1)), 6),
+        )
+        .withColumn(
+            "mean_word_len",
+            F.round(
+                (F.length(F.regexp_replace(t, r"\s+", ""))) / F.greatest(n_words, F.lit(1)),
+                6,
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# kernel-side (pandas UDFs)
+# ---------------------------------------------------------------------------
+@pandas_udf(T.StringType())
+def detect_lang_udf(text: pd.Series) -> pd.Series:
+    return text.fillna("").map(K.detect_lang)
+
+
+def _to_i64(h: int) -> int:
+    """Reinterpret uint64 as signed int64 (same 64 bits, two's complement)."""
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+@pandas_udf(T.LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    return text.fillna("").map(lambda t: _to_i64(K.simhash64(t))).astype("int64")
+
+
+@pandas_udf(T.ArrayType(T.LongType()))
+def fingerprints_udf(text: pd.Series) -> pd.Series:
+    return text.fillna("").map(
+        lambda t: [_to_i64(h) for h in K.rolling_fingerprints(t)]
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("lang_pred", detect_lang_udf(F.col(text_col)))
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("simhash", simhash_udf(F.col(text_col)))
+
+
+def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fingerprints", fingerprints_udf(F.col(text_col)))

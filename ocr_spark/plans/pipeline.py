@@ -1,0 +1,96 @@
+"""The resumable extraction pipeline (SURVEY.md §7 M4).
+
+Processing unit = a **bucket group**: a contiguous slice of url-hash
+buckets.  Per group: filter pages to the group's buckets -> extraction UDF
+-> MERGE into the output table with the group id recorded in the commit
+metadata.  A rerun asks the table which groups are committed and skips them
+— so a killed run resumes from the last committed snapshot and the final
+table is identical to an uninterrupted run (exactly-once visible rows per
+url; the per-group MERGE makes replays of a half-processed group
+idempotent, reference K3 semantics).
+
+Lineage/counters ride on ``df.observe``: docs in, docs errored, html bytes,
+text chars per commit — recorded into the snapshot metadata alongside
+per-file row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.extract import extract_pages
+from ocr_spark.plans.partitioning import salted_repartition
+from ocr_spark.sources.icelite import IceliteTable, bucket_expr
+
+
+class ExtractionPipeline:
+    def __init__(
+        self,
+        out_table: IceliteTable,
+        n_buckets: int = 16,
+        group_size: int = 4,
+        salt: int = 0,
+    ):
+        """``salt=0`` (default) keeps the extraction stage shuffle-free:
+        parquet/Iceberg scans already split files by
+        ``spark.sql.files.maxPartitionBytes``, so task sizes are balanced by
+        *bytes*, and spark.speculation covers stragglers.  Set ``salt>0``
+        only for pathological host skew — it buys smaller tasks at the cost
+        of shuffling the raw html (the one thing a 100 TB run must avoid)."""
+        self.out = out_table
+        self.n_buckets = n_buckets
+        self.group_size = group_size
+        self.salt = salt
+
+    def bucket_groups(self) -> list[list[int]]:
+        return [
+            list(range(i, min(i + self.group_size, self.n_buckets)))
+            for i in range(0, self.n_buckets, self.group_size)
+        ]
+
+    def remaining_groups(self) -> list[list[int]]:
+        done = {tuple(g) for g in self.out.committed_groups()} if self.out.exists() else set()
+        return [g for g in self.bucket_groups() if tuple(g) not in done]
+
+    def run(
+        self,
+        pages: DataFrame,
+        fail_after_groups: int | None = None,
+    ) -> dict:
+        """Process all remaining bucket groups; returns lineage summary.
+
+        ``fail_after_groups`` simulates a mid-job crash (for the resume
+        property test): raises after that many group commits.
+        """
+        stats = {"groups": 0, "docs": 0, "errors": 0, "html_bytes": 0, "text_chars": 0}
+        for i, group in enumerate(self.remaining_groups()):
+            if fail_after_groups is not None and i >= fail_after_groups:
+                raise RuntimeError(f"simulated crash after {fail_after_groups} groups")
+            part = pages.filter(
+                bucket_expr("url", self.n_buckets).isin(group)
+            )
+            if self.salt:
+                part = salted_repartition(part, "url", self.n_buckets, self.salt)
+            obs = Observation(f"extract-group-{group[0]}")
+            extracted = extract_pages(part).observe(
+                obs,
+                F.count(F.lit(1)).alias("docs"),
+                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
+                F.sum(F.length("text")).alias("text_chars"),
+            )
+            self.out.merge(
+                extracted,
+                metadata={"bucket_group": group, "counters": {}},
+                touched_buckets=group,
+            )
+            got = {k: (int(v) if v is not None else 0) for k, v in obs.get.items()}
+            # counters land in the NEXT manifest read; patch the one we wrote
+            head = self.out.snapshot()
+            head.metadata["counters"] = got
+            self.out._commit(head)
+            stats["groups"] += 1
+            stats["docs"] += got["docs"]
+            stats["errors"] += got["errors"]
+            stats["text_chars"] += got["text_chars"]
+        return stats

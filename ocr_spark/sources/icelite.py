@@ -1,0 +1,282 @@
+"""icelite — a minimal snapshot-isolated, bucket-partitioned table format.
+
+Semantics modeled on Apache Iceberg (public spec), scoped to what the
+engine needs (SURVEY.md §2 K1-K8, §7 M4):
+
+- **Atomic commits**: a snapshot is a JSON manifest listing every live data
+  file.  The commit point is a single ``os.replace`` of the HEAD pointer —
+  readers see the old or the new snapshot, never a half-written mix.  This
+  replaces the reference's 5 non-atomic Sheets API calls
+  (reference: src/ai/flows/save-to-google-sheet.ts:146-240, which can
+  corrupt the sheet if it dies between delete and append).
+- **Idempotent keyed MERGE** (reference K3 delete-then-append upsert):
+  copy-on-write at bucket granularity — only buckets present in the
+  incoming batch are rewritten (old rows anti-joined on the key, new rows
+  appended); untouched buckets carry over by file reference.
+- **Bucket partitioning**: rows are hashed on the key column into N buckets
+  (``bucket(N, url)`` layout per BASELINE.json:6); readers can prune to a
+  bucket subset via the manifest without listing directories.
+- **Lineage + resume**: every snapshot records operation metadata (e.g. the
+  bucket-group a pipeline commit covered) and per-file row counts (read
+  from parquet footers — no extra Spark job).  A resumed run asks the table
+  which groups are already committed and skips them.
+
+Layout::
+
+    <root>/
+      _HEAD                      # text file: current snapshot id (atomic)
+      _snapshots/<id>.json       # manifest chain (parent_id links)
+      data/snap-<id>/bucket=<k>/part-*.parquet
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "__bucket"
+
+
+def bucket_expr(key_col: str, n_buckets: int):
+    """Deterministic url-hash bucket: non-negative xxhash64 mod N (JVM-side)."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    operation: str
+    files: dict[str, list[str]]  # bucket(str) -> relative file paths
+    file_rows: dict[str, int]  # relative path -> row count
+    metadata: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "snapshot_id": self.snapshot_id,
+                "parent_id": self.parent_id,
+                "operation": self.operation,
+                "files": self.files,
+                "file_rows": self.file_rows,
+                "metadata": self.metadata,
+            },
+            indent=1,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Snapshot":
+        d = json.loads(s)
+        return Snapshot(
+            snapshot_id=d["snapshot_id"],
+            parent_id=d["parent_id"],
+            operation=d["operation"],
+            files=d["files"],
+            file_rows=d["file_rows"],
+            metadata=d.get("metadata", {}),
+        )
+
+
+class IceliteTable:
+    def __init__(self, root: str, key_col: str = "url", n_buckets: int = 16):
+        self.root = root
+        self.key_col = key_col
+        self.n_buckets = n_buckets
+
+    # ------------------------------------------------------------------ paths
+    @property
+    def _head_path(self) -> str:
+        return os.path.join(self.root, "_HEAD")
+
+    def _snap_path(self, sid: int) -> str:
+        return os.path.join(self.root, "_snapshots", f"{sid}.json")
+
+    # ------------------------------------------------------------- snapshots
+    def exists(self) -> bool:
+        return os.path.exists(self._head_path)
+
+    def head_id(self) -> int | None:
+        if not self.exists():
+            return None
+        with open(self._head_path) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, sid: int | None = None) -> Snapshot | None:
+        sid = sid if sid is not None else self.head_id()
+        if sid is None or sid < 0:
+            return None
+        with open(self._snap_path(sid)) as f:
+            return Snapshot.from_json(f.read())
+
+    def snapshots(self) -> list[Snapshot]:
+        out: list[Snapshot] = []
+        s = self.snapshot()
+        while s is not None:
+            out.append(s)
+            s = self.snapshot(s.parent_id) if s.parent_id is not None else None
+        return list(reversed(out))
+
+    def _commit(self, snap: Snapshot) -> None:
+        """The atomic commit point (manifest fsync + HEAD os.replace)."""
+        os.makedirs(os.path.join(self.root, "_snapshots"), exist_ok=True)
+        tmp = self._snap_path(snap.snapshot_id) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(snap.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._snap_path(snap.snapshot_id))
+        head_tmp = self._head_path + f".tmp-{uuid.uuid4().hex}"
+        with open(head_tmp, "w") as f:
+            f.write(str(snap.snapshot_id))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(head_tmp, self._head_path)
+
+    # ----------------------------------------------------------------- write
+    def _write_data(self, df: DataFrame, sid: int) -> tuple[dict, dict]:
+        """Write df bucket-partitioned under data/snap-<sid>; returns
+        (files: bucket->paths, file_rows: path->rows from parquet footers)."""
+        out_dir = os.path.join(self.root, "data", f"snap-{sid}")
+        (
+            df.withColumn(BUCKET_COL, bucket_expr(self.key_col, self.n_buckets))
+            .repartition(BUCKET_COL)
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        files: dict[str, list[str]] = {}
+        file_rows: dict[str, int] = {}
+        for bdir in sorted(os.listdir(out_dir)):
+            if not bdir.startswith(f"{BUCKET_COL}="):
+                continue
+            bucket = bdir.split("=", 1)[1]
+            for fn in sorted(os.listdir(os.path.join(out_dir, bdir))):
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = os.path.join("data", f"snap-{sid}", bdir, fn)
+                files.setdefault(bucket, []).append(rel)
+                file_rows[rel] = pq.read_metadata(os.path.join(self.root, rel)).num_rows
+        return files, file_rows
+
+    def create_empty(self, metadata: dict | None = None) -> None:
+        if self.exists():
+            return
+        os.makedirs(self.root, exist_ok=True)
+        self._commit(
+            Snapshot(0, None, "create", {}, {}, metadata or {"key": self.key_col, "n_buckets": self.n_buckets})
+        )
+
+    def append(self, df: DataFrame, metadata: dict | None = None) -> int:
+        """K5/K6 append: new files add to the current file set."""
+        head = self.snapshot()
+        sid = (head.snapshot_id + 1) if head else 0
+        files, file_rows = self._write_data(df, sid)
+        merged_files = {k: list(v) for k, v in (head.files if head else {}).items()}
+        for b, paths in files.items():
+            merged_files.setdefault(b, []).extend(paths)
+        merged_rows = dict(head.file_rows) if head else {}
+        merged_rows.update(file_rows)
+        self._commit(
+            Snapshot(sid, head.snapshot_id if head else None, "append", merged_files, merged_rows, metadata or {})
+        )
+        return sid
+
+    def merge(
+        self,
+        df: DataFrame,
+        metadata: dict | None = None,
+        touched_buckets: list[int] | None = None,
+    ) -> int:
+        """K3 idempotent upsert: for every bucket present in ``df``, replace
+        rows whose key appears in ``df`` (delete-matched + insert), rewrite
+        only those buckets; other buckets carry over by reference.
+
+        Exactly-once visible effect per key: running the same merge twice
+        yields the same table (reference save-to-google-sheet.ts:146-240).
+        """
+        spark = df.sparkSession
+        head = self.snapshot()
+        sid = (head.snapshot_id + 1) if head else 0
+        if head is None or not head.files:
+            return self.append(df, metadata)
+
+        incoming = df.withColumn(BUCKET_COL, bucket_expr(self.key_col, self.n_buckets))
+        if touched_buckets is not None:
+            # caller already knows the affected buckets (e.g. the pipeline's
+            # bucket-group) — skip the extra job over the incoming DF
+            touched = [str(b) for b in touched_buckets]
+        else:
+            touched = [
+                str(r[BUCKET_COL])
+                for r in incoming.select(BUCKET_COL).distinct().collect()
+            ]
+        old_paths = [p for b in touched for p in head.files.get(b, [])]
+        if old_paths:
+            old = spark.read.parquet(*[os.path.join(self.root, p) for p in old_paths])
+            keep = old.join(
+                F.broadcast(incoming.select(self.key_col).distinct()),
+                self.key_col,
+                "left_anti",
+            )
+            combined = keep.unionByName(incoming.drop(BUCKET_COL))
+        else:
+            combined = incoming.drop(BUCKET_COL)
+        files, file_rows = self._write_data(combined, sid)
+
+        new_files = {
+            b: list(paths) for b, paths in head.files.items() if b not in touched
+        }
+        new_rows = {
+            p: head.file_rows[p] for paths in new_files.values() for p in paths
+        }
+        for b, paths in files.items():
+            new_files.setdefault(b, []).extend(paths)
+            for p in paths:
+                new_rows[p] = file_rows[p]
+        self._commit(Snapshot(sid, head.snapshot_id, "merge", new_files, new_rows, metadata or {}))
+        return sid
+
+    # ------------------------------------------------------------------ read
+    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+        """Snapshot-isolated read; ``buckets`` prunes at the manifest level
+        (the file list shrinks before Spark ever lists anything)."""
+        head = self.snapshot()
+        if head is None or not head.files:
+            raise FileNotFoundError(f"icelite table at {self.root} is empty")
+        wanted = (
+            {str(b) for b in buckets} if buckets is not None else set(head.files)
+        )
+        paths = [
+            os.path.join(self.root, p)
+            for b, ps in sorted(head.files.items())
+            if b in wanted
+            for p in ps
+        ]
+        if not paths:
+            return spark.createDataFrame([], self._any_schema(spark, head))
+        return spark.read.parquet(*paths)
+
+    def _any_schema(self, spark: SparkSession, head: Snapshot):
+        some = next(p for ps in head.files.values() for p in ps)
+        return spark.read.parquet(os.path.join(self.root, some)).schema
+
+    # --------------------------------------------------------------- lineage
+    def row_count(self) -> int:
+        head = self.snapshot()
+        return sum(head.file_rows.values()) if head else 0
+
+    def committed_groups(self, key: str = "bucket_group") -> list[list[int]]:
+        """Resume support: operation metadata of every snapshot in the chain."""
+        return [s.metadata[key] for s in self.snapshots() if key in s.metadata]
+
+    def drop(self) -> None:
+        if os.path.exists(self.root):
+            shutil.rmtree(self.root)

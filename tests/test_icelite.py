@@ -1,0 +1,75 @@
+"""icelite table-format semantics: atomic commits, MERGE idempotency,
+bucket pruning, lineage (reference K1-K8 capabilities)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.sources.icelite import IceliteTable
+
+
+@pytest.fixture()
+def tmp_table(tmp_path):
+    return IceliteTable(str(tmp_path / "tbl"), key_col="url", n_buckets=4)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "url string, v int")
+
+
+def test_append_and_read(spark, tmp_table):
+    tmp_table.append(_df(spark, [("u1", 1), ("u2", 2)]))
+    got = {r["url"]: r["v"] for r in tmp_table.read(spark).collect()}
+    assert got == {"u1": 1, "u2": 2}
+    assert tmp_table.row_count() == 2
+
+
+def test_merge_upsert_replaces_matched(spark, tmp_table):
+    tmp_table.append(_df(spark, [("u1", 1), ("u2", 2), ("u3", 3)]))
+    tmp_table.merge(_df(spark, [("u2", 20), ("u4", 40)]))
+    got = {r["url"]: r["v"] for r in tmp_table.read(spark).collect()}
+    assert got == {"u1": 1, "u2": 20, "u3": 3, "u4": 40}
+
+
+def test_merge_idempotent(spark, tmp_table):
+    """K3: running the same merge twice == once (exactly-once per key)."""
+    tmp_table.append(_df(spark, [("u1", 1), ("u2", 2)]))
+    batch = _df(spark, [("u2", 20), ("u5", 50)])
+    tmp_table.merge(batch)
+    once = sorted((r["url"], r["v"]) for r in tmp_table.read(spark).collect())
+    tmp_table.merge(batch)
+    twice = sorted((r["url"], r["v"]) for r in tmp_table.read(spark).collect())
+    assert once == twice
+    assert tmp_table.row_count() == 3
+
+
+def test_snapshot_isolation_history(spark, tmp_table):
+    tmp_table.append(_df(spark, [("u1", 1)]))
+    tmp_table.merge(_df(spark, [("u1", 100)]))
+    snaps = tmp_table.snapshots()
+    assert [s.operation for s in snaps] == ["append", "merge"]
+    assert snaps[-1].parent_id == snaps[0].snapshot_id
+
+
+def test_bucket_pruned_read(spark, tmp_table):
+    rows = [(f"u{i}", i) for i in range(40)]
+    tmp_table.append(_df(spark, rows))
+    full = tmp_table.read(spark).count()
+    head = tmp_table.snapshot()
+    some_bucket = int(next(iter(head.files)))
+    pruned = tmp_table.read(spark, buckets=[some_bucket])
+    assert 0 < pruned.count() < full
+    # pruned read only touches that bucket's files
+    assert all(f"__bucket={some_bucket}/" in f for f in pruned.inputFiles())
+
+
+def test_merge_untouched_buckets_carry_over(spark, tmp_table):
+    rows = [(f"u{i}", i) for i in range(40)]
+    tmp_table.append(_df(spark, rows))
+    before = tmp_table.snapshot()
+    tmp_table.merge(_df(spark, [("u1", 999)]))
+    after = tmp_table.snapshot()
+    # at least one bucket's file list is unchanged (carried by reference)
+    untouched = [b for b in before.files if before.files[b] == after.files.get(b)]
+    assert untouched

@@ -1,0 +1,198 @@
+"""Kernel unit tests — no Spark, pure functions (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_spark.functions.fields import DEFAULT_FIELDS, extract_fields
+from ocr_spark.functions.html_extract import (
+    ERR_EMPTY,
+    ERR_NO_CONTENT,
+    ERR_TOO_LARGE,
+    classify_main,
+    extract_html_doc,
+    tokenize_blocks,
+)
+from ocr_spark.functions.layout import page_text
+from ocr_spark.normalize import collapse_ws, join_blocks, nfc
+
+
+# ---------------------------------------------------------------------------
+# normalize spec
+# ---------------------------------------------------------------------------
+def test_collapse_ws():
+    assert collapse_ws("  a\t b\n\nc  ") == "a b c"
+    assert collapse_ws("") == ""
+    assert collapse_ws(" \n\t ") == ""
+
+
+def test_join_blocks_spans():
+    text, spans = join_blocks(["abc", "de"])
+    assert text == "abc\nde"
+    assert spans == [("block_0", 0, 3), ("block_1", 4, 6)]
+    assert join_blocks([]) == ("", [])
+
+
+def test_nfc_applied():
+    decomposed = "étude"  # é as e + combining acute
+    text, spans = join_blocks([decomposed])
+    assert text == "étude"
+    assert spans[0][2] == 5  # NFC length, not NFD length
+
+
+# ---------------------------------------------------------------------------
+# html kernel
+# ---------------------------------------------------------------------------
+def test_tokenizer_basic():
+    blocks = tokenize_blocks("<html><body><p>one two three</p><div>four</div></body></html>")
+    assert [b.text for b in blocks] == ["one two three", "four"]
+
+
+def test_tokenizer_entities_and_inline():
+    blocks = tokenize_blocks("<p>fish &amp; chips <b>are</b> &#103;ood</p>")
+    assert blocks[0].text == "fish & chips are good"
+
+
+def test_tokenizer_ignores_script_style_head():
+    html = "<head><title>T</title></head><body><script>var x=1;</script><p>real</p><style>p{}</style></body>"
+    assert [b.text for b in tokenize_blocks(html)] == ["real"]
+
+
+def test_link_density():
+    blocks = tokenize_blocks('<div><a href="/">Home</a> <a href="/b">About</a></div>')
+    assert blocks[0].link_density > 0.8
+
+
+def test_classifier_main_vs_boiler():
+    html = (
+        '<nav><ul><li><a href="/">Home</a></li><li><a href="/a">About</a></li></ul></nav>'
+        "<p>" + " ".join(["word"] * 20) + "</p>"
+        '<footer><a href="/p">Privacy</a> <a href="/t">Terms</a></footer>'
+    )
+    blocks = tokenize_blocks(html)
+    main = classify_main(blocks)
+    texts = [b.text for b, m in zip(blocks, main) if m]
+    assert texts == [" ".join(["word"] * 20)]
+
+
+def test_error_channel():
+    assert extract_html_doc(None)[3] == ERR_EMPTY
+    assert extract_html_doc(b"")[3] == ERR_EMPTY
+    assert extract_html_doc(b"<body><a href='/'>x</a></body>")[3] == ERR_NO_CONTENT
+    big = b"x" * (9 * 1024 * 1024)
+    t, s, n, err = extract_html_doc(big)
+    assert err.startswith(ERR_TOO_LARGE) and t == "" and s == [] and n == 0
+
+
+def test_malformed_never_raises():
+    for bad in [b"<<<>><p", b"\xff\xfe\x00garbage", b"<p>" + b"\x00" * 100]:
+        t, s, n, err = extract_html_doc(bad)  # must not raise
+        assert isinstance(t, str)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(max_size=2000))
+def test_html_kernel_total(data):
+    """Property: the kernel is total — any byte string yields the full
+    default-valued payload shape (reference E6 semantics)."""
+    t, s, n, err = extract_html_doc(data)
+    assert isinstance(t, str) and isinstance(s, list) and isinstance(n, int)
+
+
+# ---------------------------------------------------------------------------
+# layout kernel
+# ---------------------------------------------------------------------------
+def _glyph_line(s: str, x: float, baseline: float):
+    out = []
+    for i, c in enumerate(s):
+        if c == " ":
+            continue
+        gx = x + i * 6.0
+        out.append((c, gx, baseline - 8.0, gx + 5.5, baseline))
+    return out
+
+
+def test_layout_single_line():
+    g = _glyph_line("ab cd", 100.0, 200.0)
+    ch, x0, y0, x1, y1 = zip(*g)
+    assert page_text(list(ch), x0, y0, x1, y1) == "ab cd"
+
+
+def test_layout_two_columns_reading_order():
+    g = _glyph_line("left", 72.0, 200.0) + _glyph_line("right", 324.0, 200.0) + _glyph_line(
+        "left2", 72.0, 214.0
+    ) + _glyph_line("right2", 324.0, 214.0)
+    ch, x0, y0, x1, y1 = zip(*g)
+    assert page_text(list(ch), x0, y0, x1, y1) == "left\nleft2\nright\nright2"
+
+
+def test_layout_header_footer_dropped():
+    g = _glyph_line("head", 72.0, 50.0) + _glyph_line("body", 72.0, 300.0) + _glyph_line(
+        "foot", 72.0, 760.0
+    )
+    ch, x0, y0, x1, y1 = zip(*g)
+    assert page_text(list(ch), x0, y0, x1, y1) == "body"
+
+
+def test_layout_empty_page():
+    assert page_text([], [], [], [], []) == ""
+
+
+# ---------------------------------------------------------------------------
+# fields kernel
+# ---------------------------------------------------------------------------
+def test_fields_defaults_on_empty():
+    f, err = extract_fields("")
+    assert f == DEFAULT_FIELDS and err == "EMPTY_INPUT"
+    f2, _ = extract_fields(None)
+    assert set(f2) == set(DEFAULT_FIELDS)
+
+
+def test_fields_basic():
+    doc = "Classe: A3\nCours: Chimie\nDate: 05/03/2025\nNombre des présents: 2\n1. Alice B\n2. Bob C"
+    f, err = extract_fields(doc)
+    assert err is None
+    assert f["classe"] == "A3" and f["cours"] == "Chimie"
+    assert f["nombre_des_présents"] == 2
+    assert f["présences"] == [
+        {"n": "1", "nom_prénom": "Alice B"},
+        {"n": "2", "nom_prénom": "Bob C"},
+    ]
+    assert f["salle_n"] == "" and f["séance"] == ""  # defaults, keys present
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=500))
+def test_fields_all_keys_always_present(text):
+    """E5 contract: no key may ever be omitted."""
+    f, _ = extract_fields(text)
+    assert set(f.keys()) == set(DEFAULT_FIELDS.keys())
+    assert isinstance(f["nombre_des_présents"], int)
+    assert isinstance(f["présences"], list)
+
+
+# ---------------------------------------------------------------------------
+# full-tier golden identity (kernel-level; Spark-level in test_spark_e2e)
+# ---------------------------------------------------------------------------
+def test_small_tier_pages_byte_identical(small_dir):
+    pages = pq.read_table(f"{small_dir}/pages.parquet").to_pylist()
+    golden = {g["url"]: g for g in pq.read_table(f"{small_dir}/golden_pages.parquet").to_pylist()}
+    for p in pages:
+        text, spans, n_blocks, err = extract_html_doc(p["html"])
+        g = golden[p["url"]]
+        assert text == g["text"], p["url"]
+        assert [{"field": f, "begin": b, "end": e} for f, b, e in spans] == g["spans"]
+        assert n_blocks == g["n_blocks"]
+        assert (err is not None) == g["expect_error"]
+
+
+def test_small_tier_attendance_exact(small_dir):
+    docs = pq.read_table(f"{small_dir}/attendance_docs.parquet").to_pylist()
+    golden = {g["url"]: g for g in pq.read_table(f"{small_dir}/golden_attendance.parquet").to_pylist()}
+    for d in docs:
+        f, _ = extract_fields(d["doc_text"])
+        g = golden[d["url"]]
+        assert f == {k: g[k] for k in f}, d["url"]

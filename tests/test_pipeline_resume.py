@@ -1,0 +1,74 @@
+"""Resumability property (SURVEY.md §5.2, BASELINE.md): kill after k
+bucket-group commits, rerun -> byte-identical result to an uninterrupted
+run, exactly-once visible rows per url."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.plans.pipeline import ExtractionPipeline
+from ocr_spark.sources.icelite import IceliteTable
+
+
+@pytest.fixture(scope="module")
+def pages(spark, tiny_dir):
+    return spark.read.parquet(f"{tiny_dir}/pages.parquet")
+
+
+def _table_content(spark, table):
+    return sorted(
+        (r["url"], r["text"], r["error"], r["engine"])
+        for r in table.read(spark).collect()
+    )
+
+
+def test_uninterrupted_run(spark, pages, tmp_path):
+    out = IceliteTable(str(tmp_path / "out"), key_col="url", n_buckets=8)
+    pipe = ExtractionPipeline(out, n_buckets=8, group_size=2)
+    stats = pipe.run(pages)
+    assert stats["groups"] == 4
+    assert stats["docs"] == pages.count()
+    assert out.row_count() == pages.count()
+
+
+def test_kill_and_resume_identical(spark, pages, tmp_path):
+    # ground truth: uninterrupted
+    ref = IceliteTable(str(tmp_path / "ref"), key_col="url", n_buckets=8)
+    ExtractionPipeline(ref, n_buckets=8, group_size=2).run(pages)
+    want = _table_content(spark, ref)
+
+    # crash after 2 of 4 group commits
+    out = IceliteTable(str(tmp_path / "out"), key_col="url", n_buckets=8)
+    pipe = ExtractionPipeline(out, n_buckets=8, group_size=2)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pipe.run(pages, fail_after_groups=2)
+    assert len(pipe.remaining_groups()) == 2
+    partial = out.row_count()
+    assert 0 < partial < pages.count()
+
+    # resume: only remaining groups run; final content identical
+    stats = ExtractionPipeline(out, n_buckets=8, group_size=2).run(pages)
+    assert stats["groups"] == 2
+    assert _table_content(spark, out) == want
+
+
+def test_rerun_after_completion_is_noop(spark, pages, tmp_path):
+    out = IceliteTable(str(tmp_path / "out"), key_col="url", n_buckets=8)
+    ExtractionPipeline(out, n_buckets=8, group_size=2).run(pages)
+    head = out.head_id()
+    stats = ExtractionPipeline(out, n_buckets=8, group_size=2).run(pages)
+    assert stats["groups"] == 0
+    assert out.head_id() == head
+
+
+def test_lineage_counters_recorded(spark, pages, tmp_path):
+    out = IceliteTable(str(tmp_path / "out"), key_col="url", n_buckets=8)
+    ExtractionPipeline(out, n_buckets=8, group_size=4).run(pages)
+    counters = [
+        s.metadata.get("counters", {})
+        for s in out.snapshots()
+        if "bucket_group" in s.metadata
+    ]
+    assert sum(c.get("docs", 0) for c in counters) == pages.count()
+    assert all("errors" in c and "text_chars" in c for c in counters)

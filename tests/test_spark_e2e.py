@@ -1,0 +1,148 @@
+"""Spark-level end-to-end: extraction, attendance, unnest, layout branch.
+
+Golden-fixture identity at the DataFrame level plus plan-shape assertions
+(vectorization constraint: ArrowEvalPython only, no row-at-a-time
+BatchEvalPython — BASELINE.json:15).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.attendance import (
+    attendance_records,
+    parse_json_output,
+    with_json_output,
+)
+from ocr_spark.operators.extract import extract_pages
+from ocr_spark.operators.layout_ops import glyphs_to_page_text, pages_to_doc_text
+from ocr_spark.operators.unnest import explode_presences
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, tiny_dir):
+    pages = spark.read.parquet(f"{tiny_dir}/pages.parquet")
+    return extract_pages(pages).cache()
+
+
+def test_extract_text_byte_identical(spark, tiny_dir, extracted):
+    golden = spark.read.parquet(f"{tiny_dir}/golden_pages.parquet").select(
+        "url",
+        F.col("text").alias("gtext"),
+        F.to_json("spans").alias("gspans"),
+        F.col("n_blocks").alias("gn"),
+        "expect_error",
+    )
+    j = extracted.withColumn("jspans", F.to_json("spans")).join(golden, "url")
+    assert j.count() == extracted.count()
+    assert j.filter(F.col("text") != F.col("gtext")).count() == 0
+    assert j.filter(F.col("jspans") != F.col("gspans")).count() == 0
+    assert j.filter(F.col("n_blocks") != F.col("gn")).count() == 0
+    assert j.filter(F.col("expect_error") != F.col("error").isNotNull()).count() == 0
+
+
+def test_extract_error_rows_carry_defaults(extracted):
+    """E6: error rows still have the full default payload."""
+    errs = extracted.filter(F.col("error").isNotNull())
+    assert errs.filter(
+        F.col("text").isNull() | F.col("spans").isNull() | F.col("n_blocks").isNull()
+    ).count() == 0
+    assert errs.filter((F.col("text") != "") | (F.size("spans") != 0)).count() == 0
+
+
+def test_extract_plan_is_vectorized_and_narrow(spark, tiny_dir):
+    pages = spark.read.parquet(f"{tiny_dir}/pages.parquet")
+    plan = extract_pages(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan  # vectorized UDF channel
+    assert "BatchEvalPython" not in plan  # no per-row Python
+    assert "Exchange" not in plan  # zero shuffles in the extraction stage
+
+
+def test_engine_dispatch(spark, tiny_dir):
+    pages = spark.read.parquet(f"{tiny_dir}/pages.parquet")
+    # null out html for half the rows -> they must route to the wet branch
+    routed = pages.withColumn(
+        "html", F.when(F.col("url").endswith("0"), None).otherwise(F.col("html"))
+    )
+    ext = extract_pages(routed)
+    engines = {r["engine"]: r["n"] for r in ext.groupBy("engine").agg(F.count("*").alias("n")).collect()}
+    assert set(engines) == {"dom", "wet"}
+    wet = ext.filter(F.col("engine") == "wet")
+    # wet pass-through equals whitespace-collapsed crawl text
+    src = routed.filter(F.col("html").isNull()).select(
+        "url", F.trim(F.regexp_replace(F.coalesce("text", F.lit("")), r"\s+", " ")).alias("want")
+    )
+    assert wet.join(src, "url").filter(F.col("text") != F.col("want")).count() == 0
+
+
+def test_attendance_spark_exact(spark, tiny_dir):
+    docs = spark.read.parquet(f"{tiny_dir}/attendance_docs.parquet")
+    recs = attendance_records(docs)
+    golden = spark.read.parquet(f"{tiny_dir}/golden_attendance.parquet")
+    gstruct = golden.select(
+        "url",
+        F.to_json(
+            F.struct(
+                "classe", "cours", "date", "nom_du_professeur",
+                "nombre_des_présents", "salle_n", "séance", "présences",
+            )
+        ).alias("gjson"),
+    )
+    j = with_json_output(recs).join(gstruct, "url")
+    assert j.count() == golden.count()
+    assert j.filter(F.col("json_output") != F.col("gjson")).count() == 0
+
+
+def test_json_roundtrip(spark, tiny_dir):
+    """E7+E8: to_json then from_json reproduces the struct exactly."""
+    docs = spark.read.parquet(f"{tiny_dir}/attendance_docs.parquet")
+    recs = attendance_records(docs).select("url", "fields")
+    rt = parse_json_output(
+        with_json_output(recs).select("url", "json_output")
+    ).select("url", F.to_json("fields").alias("j2"))
+    orig = recs.select("url", F.to_json("fields").alias("j1"))
+    assert orig.join(rt, "url").filter(F.col("j1") != F.col("j2")).count() == 0
+
+
+def test_explode_outer_rows_match_golden(spark, tiny_dir):
+    docs = spark.read.parquet(f"{tiny_dir}/attendance_docs.parquet")
+    rows = explode_presences(attendance_records(docs)).select("url", "n", "nom_prénom")
+    golden = spark.read.parquet(f"{tiny_dir}/golden_attendance_rows.parquet")
+    assert rows.count() == golden.count()
+    assert rows.exceptAll(golden).count() == 0
+    assert golden.exceptAll(rows).count() == 0
+
+
+def test_explode_outer_rowcount_law(spark, tiny_dir):
+    """Property U1: rows per doc == max(1, size(présences))."""
+    docs = spark.read.parquet(f"{tiny_dir}/attendance_docs.parquet")
+    recs = attendance_records(docs)
+    law = recs.select(
+        "url", F.greatest(F.size("fields.présences"), F.lit(1)).alias("want")
+    )
+    got = explode_presences(recs).groupBy("url").agg(F.count("*").alias("got"))
+    assert law.join(got, "url").filter(F.col("want") != F.col("got")).count() == 0
+
+
+def test_layout_branch_byte_identical(spark, tiny_dir):
+    glyphs = spark.read.parquet(f"{tiny_dir}/glyphs.parquet")
+    got = glyphs_to_page_text(glyphs)
+    golden = spark.read.parquet(f"{tiny_dir}/golden_glyphs.parquet").select(
+        "doc_id", "page", F.col("text").alias("gtext")
+    )
+    j = got.join(golden, ["doc_id", "page"])
+    assert j.count() == golden.count()
+    assert j.filter(F.col("text") != F.col("gtext")).count() == 0
+
+
+def test_doc_assembly(spark, tiny_dir):
+    glyphs = spark.read.parquet(f"{tiny_dir}/glyphs.parquet")
+    docs = pages_to_doc_text(glyphs_to_page_text(glyphs))
+    golden = spark.read.parquet(f"{tiny_dir}/golden_glyphs.parquet")
+    want = (
+        golden.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("page", "text"))).alias("p"))
+        .select("doc_id", F.array_join(F.transform("p", lambda x: x["text"]), "\n").alias("wtext"))
+    )
+    assert docs.join(want, "doc_id").filter(F.col("text") != F.col("wtext")).count() == 0
