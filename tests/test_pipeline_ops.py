@@ -1,0 +1,217 @@
+"""Training-data pipeline operators: dedup, similarity, textstats,
+multimodal plumbing, streaming ingest."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    exact_dedup_keep,
+    minhash_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+from ocr_spark.operators.multimodal import decode_images, frame_sample_plan
+from ocr_spark.operators.similarity import cosine_topk, ivf_topk
+from ocr_spark.operators.textstats_ops import (
+    with_lang_id,
+    with_quality,
+    with_simhash,
+    with_token_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+def test_exact_dedup(spark, documents):
+    survivors = exact_dedup(documents)
+    n_texts = documents.select("text").distinct().count()
+    assert survivors.count() == n_texts
+    kept = exact_dedup_keep(documents)
+    assert kept.count() == n_texts
+    assert kept.select("text").distinct().count() == n_texts
+
+
+def test_exact_dedup_survivor_is_min_id(spark):
+    df = spark.createDataFrame(
+        [(5, "same"), (2, "same"), (9, "other")], "doc_id long, text string"
+    )
+    got = {r["text_md5"]: r["doc_id"] for r in exact_dedup(df).collect()}
+    assert sorted(got.values()) == [2, 9]
+
+
+def test_minhash_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    near = base.replace("tonight", "today")
+    other = "completely different content about spark execution plans and shuffle partitioning strategy"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_dup_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_pairs(spark):
+    base = " ".join(f"word{i}" for i in range(60))
+    near = base.replace("word59", "word99")
+    other = " ".join(f"zz{i}" for i in range(60))
+    df = spark.createDataFrame([(1, base), (2, near), (3, other)], "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_dup_pairs(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert (1, 3) not in pairs
+
+
+def test_ngram_jaccard(spark):
+    a = "one two three four five six"
+    b = "one two three four five seven"
+    c = "totally unrelated words here now yes"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(df, threshold=0.1).collect()}
+    # 3-grams: a has 4, b has 4, intersection 3 -> jaccard 3/5
+    assert got[(1, 2)] == 0.6
+    assert all(3 not in k for k in got)
+
+
+def test_embedding_dup_pairs(spark):
+    v = [1.0, 0.0, 0.5, 0.2]
+    near = [1.0, 0.001, 0.5, 0.2]
+    far = [-1.0, 0.5, -0.5, 0.8]
+    df = spark.createDataFrame(
+        [(1, v), (2, near), (3, far)], "vec_id long, embedding array<float>"
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_dup_pairs(df, threshold=0.99).collect()}
+    assert (1, 2) in pairs and all(3 not in p for p in pairs)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+def test_cosine_topk_self_first(spark, embeddings):
+    q = [float(x) for x in embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
+    top = cosine_topk(embeddings, q, k=5).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cosine"] == 1.0
+    assert len(top) == 5
+    assert all(top[i]["cosine"] >= top[i + 1]["cosine"] for i in range(4))
+
+
+def test_ivf_topk_close_to_exact(spark, embeddings):
+    q = [float(x) for x in embeddings.filter(F.col("vec_id") == 7).first()["embedding"]]
+    exact = [r["vec_id"] for r in cosine_topk(embeddings, q, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(embeddings, q, k=10, n_lists=4, n_probe=3).collect()]
+    # ANN recall: the query vector itself must be found; a majority of the
+    # exact top-10 too (synthetic embeddings are unclustered, so IVF recall
+    # is proportional to the probed fraction)
+    assert 7 in approx
+    assert len(set(exact) & set(approx)) >= 5
+
+
+# ---------------------------------------------------------------------------
+# textstats
+# ---------------------------------------------------------------------------
+def test_token_stats(spark):
+    df = spark.createDataFrame([(1, "a b  c"), (2, ""), (3, "x,y")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_subwords"]) for r in with_token_stats(df).collect()}
+    assert got[1] == (3, 3)
+    assert got[2] == (0, 0)
+    assert got[3] == (1, 3)  # "x" "," "y"
+
+
+def test_quality(spark):
+    df = spark.createDataFrame([(1, "The cat, the hat.")], "doc_id long, text string")
+    r = with_quality(df).first()
+    assert r["n_words_q"] == 4
+    assert r["punct_ratio"] > 0 and r["stopword_ratio"] == 0.5
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and it is warm"),
+            (2, "le chat est sur le tapis et il est dans la maison"),
+            (3, "der hund ist im garten und die katze ist auf dem dach"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in with_lang_id(df).collect()}
+    assert got == {1: "en", 2: "fr", 3: "de"}
+
+
+def test_simhash_column_deterministic(spark):
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    a = with_simhash(df).first()["simhash"]
+    b = with_simhash(df).first()["simhash"]
+    assert a == b and isinstance(a, int)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+def test_multimodal_fake_decode(spark):
+    rows = [
+        Row(media_id=1, kind="image", payload=b"imagebytes1", content_type="image/png"),
+        Row(media_id=2, kind="image", payload=b"", content_type="image/png"),
+        Row(media_id=3, kind="audio", payload=b"au", content_type="audio/wav"),
+    ]
+    media = spark.createDataFrame(rows)
+    out = {r["media_id"]: r["meta"] for r in decode_images(media, deterministic_fake=True).collect()}
+    assert set(out) == {1, 2}  # audio filtered out
+    assert out[1]["width"] >= 64 and out[1]["error"] is None
+    assert out[2]["error"] == "EMPTY_INPUT"
+    # determinism
+    again = decode_images(media, deterministic_fake=True).filter(F.col("media_id") == 1).first()
+    assert again["meta"]["sha256"] == out[1]["sha256"]
+
+
+def test_multimodal_stub_raises_without_fake(spark):
+    media = spark.createDataFrame(
+        [Row(media_id=1, kind="image", payload=b"x", content_type="image/png")]
+    )
+    with pytest.raises(Exception, match="NotImplementedError|image decoding"):
+        decode_images(media, deterministic_fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = spark.createDataFrame(
+        [Row(media_id=9, kind="video", payload=b"v" * (1024 * 95), content_type="video/mp4")]
+    )
+    frames = [r["frame_idx"] for r in frame_sample_plan(media, every_n=30).collect()]
+    assert frames == [0, 30, 60, 90]
+
+
+# ---------------------------------------------------------------------------
+# streaming ingest
+# ---------------------------------------------------------------------------
+def test_streaming_extract(spark, tiny_dir, tmp_path):
+    from ocr_spark.sources.icelite import IceliteTable
+    from ocr_spark.streaming import run_stream_once
+
+    import shutil
+
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    shutil.copy(f"{tiny_dir}/pages.parquet", in_dir / "pages.parquet")
+    out = IceliteTable(str(tmp_path / "stream_out"), key_col="url", n_buckets=4)
+    n = run_stream_once(spark, str(in_dir), out, str(tmp_path / "ckpt"))
+    assert n == 100
+    assert out.row_count() == 100
+    # second drain with same checkpoint: no new files -> no reprocessing
+    n2 = run_stream_once(spark, str(in_dir), out, str(tmp_path / "ckpt"))
+    assert n2 == 0 and out.row_count() == 100
