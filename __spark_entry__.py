@@ -1,10 +1,23 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction end-to-end on the tiny fixture tier.
+``queries()``    — one entry per implemented operator (SURVEY.md §2 + the
+                   training-data pipeline ops); each takes (spark, sf_dir).
+``oracle_sql()`` — DuckDB-equivalent SQL per query.  Extraction queries are
+                   oracle-checked against the *golden fixture parquet* (the
+                   generator's exact expectation — a hash match proves
+                   byte-identical extraction); kernel ops that aren't
+                   SQL-expressible (minhash, simhash, langid, fingerprints)
+                   have no oracle and fall to the rows-only check, with
+                   pytest goldens carrying their correctness.
+
+Cross-engine determinism rules used throughout:
+- double SUMs are cast to DECIMAL before aggregation (float addition order
+  is engine-dependent; decimal is exact) or rounded after exact-int math;
+- computed integers are cast to BIGINT on both sides;
+- timestamps never appear in compared output (session TZ pinned to UTC
+  regardless);
+- every computed column is aliased identically in Spark and SQL.
 """
 
 from __future__ import annotations
@@ -12,27 +25,452 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ocr_spark.fixtures.generator import ensure_fixtures
+from ocr_spark.operators.attendance import attendance_records, with_json_output
+from ocr_spark.operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+from ocr_spark.operators.extract import extract_pages
+from ocr_spark.operators.layout_ops import glyphs_to_page_text
+from ocr_spark.operators.similarity import cosine_topk, ivf_topk
+from ocr_spark.operators.textstats_ops import (
+    with_fingerprints,
+    with_lang_id,
+    with_quality,
+    with_token_stats,
+)
+from ocr_spark.operators.unnest import explode_presences
+
+FIX_TIER = "small"
+
+
+def _fix() -> str:
+    return ensure_fixtures(FIX_TIER)
+
+
+def _pq(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full extraction stage over the pages fixture."""
+    fix = ensure_fixtures("tiny")
+    pages = spark.read.parquet(f"{fix}/pages.parquet")
+    return extract_pages(pages)
 
 
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    fix = _fix()  # generated before the driver runs anything
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- extraction family (fixture-based, golden-parquet oracles) --------
+    def q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+        pages = spark.read.parquet(f"{fix}/pages.parquet")
+        return extract_pages(pages).select(
+            "url",
+            "text",
+            F.col("n_blocks").cast("bigint").alias("n_blocks"),
+            F.col("error").isNotNull().alias("has_error"),
+        )
+
+    def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        pages = spark.read.parquet(f"{fix}/pages.parquet")
+        ext = extract_pages(pages).select("url", F.explode("spans").alias("s"))
+        return ext.select(
+            "url",
+            F.col("s.field").alias("span_field"),
+            F.col("s.begin").alias("span_begin"),
+            F.col("s.end").alias("span_end"),
+        )
+
+    def q_extract_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+        glyphs = spark.read.parquet(f"{fix}/glyphs.parquet")
+        return glyphs_to_page_text(glyphs).select(
+            "doc_id", F.col("page").cast("bigint").alias("page"), "text"
+        )
+
+    def q_attendance_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{fix}/attendance_docs.parquet")
+        r = attendance_records(docs)
+        return r.select(
+            "url",
+            F.col("fields.classe").alias("classe"),
+            F.col("fields.cours").alias("cours"),
+            F.col("fields.date").alias("date"),
+            F.col("fields.nom_du_professeur").alias("nom_du_professeur"),
+            F.col("fields.nombre_des_présents").alias("nombre_des_présents"),
+            F.col("fields.salle_n").alias("salle_n"),
+            F.col("fields.séance").alias("séance"),
+        )
+
+    def q_attendance_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{fix}/attendance_docs.parquet")
+        return explode_presences(attendance_records(docs)).select(
+            "url", "n", "nom_prénom"
+        )
+
+    def q_attendance_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{fix}/attendance_docs.parquet")
+        return with_json_output(attendance_records(docs)).select("url", "json_output")
+
+    def q_wet_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        pages = spark.read.parquet(f"{fix}/pages.parquet")
+        wet = extract_pages(pages.withColumn("html", F.lit(None).cast("binary")))
+        return wet.filter(F.col("text") != "").select("url", "text")
+
+    # -- dedup family -----------------------------------------------------
+    def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return exact_dedup(_pq(spark, sf_dir, "documents")).select(
+            "text_md5", "doc_id", F.col("n_copies").cast("bigint").alias("n_copies")
+        )
+
+    def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return ngram_jaccard_pairs(
+            _pq(spark, sf_dir, "documents"), n=3, threshold=0.2
+        )
+
+    def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return minhash_dup_pairs(
+            _pq(spark, sf_dir, "documents"), threshold=0.5
+        ).select("id_a", "id_b", "est_jaccard")
+
+    def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return simhash_dup_pairs(_pq(spark, sf_dir, "documents"), max_hamming=3)
+
+    def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Near-dup detection demo: union the table with slightly-perturbed
+        copies (same direction, scaled) — every original must pair with its
+        copy at cosine ~1.0 via the hyperplane-LSH bucket join."""
+        emb = _pq(spark, sf_dir, "embeddings")
+        perturbed = emb.select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+        )
+        return embedding_dup_pairs(
+            emb.select("vec_id", "embedding").unionByName(perturbed), threshold=0.999
+        )
+
+    # -- similarity search ------------------------------------------------
+    def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+        row = (
+            _pq(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).first()
+        )
+        return [float(x) for x in row["embedding"]]
+
+    def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = _pq(spark, sf_dir, "embeddings")
+        return cosine_topk(emb, _query_vec(spark, sf_dir), k=20).select("vec_id")
+
+    def q_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = _pq(spark, sf_dir, "embeddings")
+        return ivf_topk(
+            emb, _query_vec(spark, sf_dir), k=10, n_lists=8, n_probe=8
+        ).select("vec_id")  # n_probe == n_lists -> exact, so oracle-checkable
+
+    # -- text analysis ----------------------------------------------------
+    def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return with_token_stats(_pq(spark, sf_dir, "documents")).select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_subwords").cast("bigint").alias("n_subwords"),
+        )
+
+    def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return with_quality(_pq(spark, sf_dir, "documents")).select(
+            "doc_id", "punct_ratio", "stopword_ratio", "mean_word_len"
+        )
+
+    def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return with_lang_id(_pq(spark, sf_dir, "documents")).select(
+            "doc_id", "lang", "lang_pred"
+        )
+
+    def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return with_fingerprints(_pq(spark, sf_dir, "documents")).select(
+            "doc_id", F.size("fingerprints").cast("bigint").alias("n_fingerprints")
+        )
+
+    # -- relational / windows / merge semantics ---------------------------
+    def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = _pq(spark, sf_dir, "lineitem")
+        dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+        # SUM in decimal (exact, engine-order-independent), emit as double
+        # (identical float64 from the same exact decimal in both engines)
+        return (
+            li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+                F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ).cast("double").alias("sum_disc_price"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    def q_join_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _pq(spark, sf_dir, "documents")
+        w = W.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        return (
+            docs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("lang", "doc_id", "n_chars", F.col("rk").cast("bigint").alias("rk"))
+        )
+
+    def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = _pq(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")  # parquet NTZ -> UTC instant
+        )
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+        sess = F.sum(
+            F.when(gap > 1800 * 1_000_000, 1).otherwise(0)
+        ).over(w.rowsBetween(W.unboundedPreceding, 0))
+        return (
+            ev.withColumn("session_no", sess)
+            .groupBy("user_id")
+            .agg(
+                (F.max("session_no") + 1).cast("bigint").alias("n_sessions"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+        )
+
+    def q_merge_upsert_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """K3 delete-then-append semantics as a declarative plan: batch2
+        replaces batch1 rows on the key, result = b2 ∪ (b1 anti b2)."""
+        o = _pq(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        b1 = o.filter(F.col("o_orderkey") % 3 == 0)
+        b2 = o.filter(F.col("o_orderkey") % 6 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        return b1.join(b2, "o_orderkey", "left_anti").unionByName(b2)
+
+    def q_broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        orders = _pq(spark, sf_dir, "orders")
+        cust = _pq(spark, sf_dir, "customer")
+        nation = _pq(spark, sf_dir, "nation")
+        return (
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+        )
+
+    return {
+        "extract_html": q_extract_html,
+        "extract_spans": q_extract_spans,
+        "extract_layout": q_extract_layout,
+        "attendance_fields": q_attendance_fields,
+        "attendance_explode": q_attendance_explode,
+        "attendance_json": q_attendance_json,
+        "wet_normalize": q_wet_normalize,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_dups": q_embedding_dups,
+        "topk_cosine": q_topk_cosine,
+        "topk_cosine_ivf": q_topk_cosine_ivf,
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "agg_pricing": q_agg_pricing,
+        "join_topk_per_group": q_join_topk_per_group,
+        "sessionize": q_sessionize,
+        "merge_upsert_effect": q_merge_upsert_effect,
+        "broadcast_join_agg": q_broadcast_join_agg,
+    }
 
 
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    fix = _fix()
+    gp = f"{fix}/golden_pages.parquet"
+    gg = f"{fix}/golden_glyphs.parquet"
+    ga = f"{fix}/golden_attendance.parquet"
+    gar = f"{fix}/golden_attendance_rows.parquet"
+    pages = f"{fix}/pages.parquet"
+
+    return {
+        # extraction vs GOLDEN fixtures: a value-hash match here IS the
+        # byte-identical-text check, run through the driver's own comparator
+        "extract_html": f"""
+            SELECT url, text, CAST(n_blocks AS BIGINT) AS n_blocks,
+                   expect_error AS has_error
+            FROM '{gp}'
+        """,
+        "extract_spans": f"""
+            SELECT url, u.field AS span_field, u.begin AS span_begin,
+                   u."end" AS span_end
+            FROM (SELECT url, unnest(spans) AS u FROM '{gp}')
+        """,
+        "extract_layout": f"""
+            SELECT doc_id, CAST(page AS BIGINT) AS page, text FROM '{gg}'
+        """,
+        "attendance_fields": f"""
+            SELECT url, classe, cours, date, nom_du_professeur,
+                   "nombre_des_présents", salle_n, "séance"
+            FROM '{ga}'
+        """,
+        "attendance_explode": f"""
+            SELECT url, n, "nom_prénom" FROM '{gar}'
+        """,
+        "wet_normalize": rf"""
+            SELECT url,
+                   trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS text
+            FROM '{pages}'
+            WHERE trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) != ''
+        """,
+        # relational ops vs true independent SQL
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, MIN(doc_id) AS doc_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "ngram_jaccard": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\s+') END AS toks
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                            WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                            ELSE list_transform(generate_series(1, len(toks) - 2),
+                                                i -> array_to_string(toks[i:i+2], ' '))
+                       END) AS gs
+              FROM tok
+            ),
+            sized AS (SELECT doc_id, len(gs) AS n_grams, gs FROM grams),
+            flat AS (SELECT doc_id, n_grams, unnest(gs) AS gram FROM sized),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.n_grams AS na, b.n_grams AS nb, COUNT(*) AS n_inter
+              FROM flat a JOIN flat b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b,
+                   round(n_inter / (na + nb - n_inter), 6) AS jaccard
+            FROM inter
+            WHERE n_inter / (na + nb - n_inter) >= 0.2
+        """,
+        "topk_cosine": """
+            SELECT vec_id FROM embeddings
+            ORDER BY list_cosine_similarity(
+                       embedding::DOUBLE[],
+                       (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)
+                     ) DESC, vec_id
+            LIMIT 20
+        """,
+        "topk_cosine_ivf": """
+            SELECT vec_id FROM embeddings
+            ORDER BY list_cosine_similarity(
+                       embedding::DOUBLE[],
+                       (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)
+                     ) DESC, vec_id
+            LIMIT 10
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(string_split_regex(trim(text), '\s+'))
+                        END AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+                        AS BIGINT) AS n_subwords
+            FROM documents
+        """,
+        "quality": r"""
+            SELECT doc_id,
+                   round(len(regexp_extract_all(text, '[.,;:!?]'))
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(len(regexp_extract_all(text,
+                         '(?i)\b(the|of|and|to|in|a|is|that|it|for)\b'))
+                         / greatest(CASE WHEN trim(text) = '' THEN 0
+                                    ELSE len(string_split_regex(trim(text), '\s+')) END, 1),
+                         6) AS stopword_ratio,
+                   round(length(regexp_replace(text, '\s+', '', 'g'))
+                         / greatest(CASE WHEN trim(text) = '' THEN 0
+                                    ELSE len(string_split_regex(trim(text), '\s+')) END, 1),
+                         6) AS mean_word_len
+            FROM documents
+        """,
+        "agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_topk_per_group": """
+            SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id) AS rk
+              FROM documents)
+            WHERE rk <= 3
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id,
+                     epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events
+            ),
+            s AS (
+              SELECT user_id,
+                     SUM(CASE WHEN gap > 1800 * 1000000 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+              FROM g
+            )
+            SELECT user_id, CAST(MAX(session_no) + 1 AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id
+        """,
+        "merge_upsert_effect": """
+            WITH b1 AS (SELECT o_orderkey, o_totalprice FROM orders
+                        WHERE o_orderkey % 3 = 0),
+                 b2 AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+                        FROM orders WHERE o_orderkey % 6 = 0)
+            SELECT * FROM b1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+            UNION ALL SELECT * FROM b2
+        """,
+        "broadcast_join_agg": """
+            SELECT n_name, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        # minhash_pairs / simhash_pairs / embedding_dups / lang_id /
+        # fingerprints / attendance_json: custom deterministic kernels, not
+        # SQL-expressible -> rows-only check; pytest goldens carry them.
+    }
