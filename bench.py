@@ -1,0 +1,113 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The headline metric is the flagship extraction stage over the bench fixture
+tier (~20k synthetic Common-Crawl-style pages, FIXTURES.md): wall-clock,
+docs/sec, and MB/sec of html.  The queries dict adds per-operator timings
+at the given scale factor.  Scaling-efficiency evidence (local[8] vs
+local[32]) is produced by tools/scaling.py and recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ocr_spark.fixtures.generator import ensure_fixtures  # noqa: E402
+from ocr_spark.operators.extract import extract_pages  # noqa: E402
+from ocr_spark.session import build_session, default_parallelism  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+BENCH_QUERIES = [
+    "dedup_exact",
+    "minhash_pairs",
+    "simhash_pairs",
+    "token_stats",
+    "quality",
+    "lang_id",
+    "topk_cosine",
+    "topk_cosine_ivf",
+    "embedding_dups",
+    "agg_pricing",
+    "join_topk_per_group",
+    "sessionize",
+    "broadcast_join_agg",
+]
+
+
+def run_extraction_bench(spark, bench_dir: str) -> dict:
+    pages = spark.read.parquet(f"{bench_dir}/pages.parquet")
+    n_docs, html_mb = [
+        (r["n"], r["mb"])
+        for r in pages.agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.length("html")) / 1e6).alias("mb"),
+        ).collect()
+    ][0]
+    t0 = time.time()
+    # force full extraction compute; aggregate instead of collecting text
+    out = (
+        extract_pages(pages)
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.length("text")).alias("chars"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errs"),
+        )
+        .collect()[0]
+    )
+    wall = time.time() - t0
+    assert out["docs"] == n_docs
+    return {
+        "extract_sec": round(wall, 3),
+        "docs": int(n_docs),
+        "html_mb": round(float(html_mb), 2),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "mb_per_sec": round(float(html_mb) / wall, 2),
+        "errors": int(out["errs"]),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = default_parallelism()
+    bench_dir = ensure_fixtures("bench")
+    spark = build_session("ocr-spark-bench", cores=cores)
+
+    ext = run_extraction_bench(spark, bench_dir)
+
+    qtimes: dict[str, float] = {"extract_bench": ext["extract_sec"]}
+    qs = entry_mod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        # count() forces the full plan; results themselves are not collected
+        qs[name](spark, sf_dir).count()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "flagship extraction wall-clock over the bench pages tier "
+                f"({ext['docs']} docs, {ext['html_mb']} MB html; "
+                f"{ext['docs_per_sec']} docs/sec, {ext['mb_per_sec']} MB/sec)",
+                "value": ext["extract_sec"],
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": float(sf) if sf else sf_dir,
+                "extract": ext,
+                "cores": cores,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

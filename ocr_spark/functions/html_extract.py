@@ -37,7 +37,9 @@ full default payload — extract-data-from-pdf.ts:87-91,156-173):
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
+from html import unescape as _unescape
 from html.parser import HTMLParser
 
 from ocr_spark.normalize import collapse_ws, join_blocks
@@ -153,11 +155,116 @@ class _BlockTokenizer(HTMLParser):
         self._flush()
 
 
-def tokenize_blocks(html: str) -> list[Block]:
+def tokenize_blocks_stdlib(html: str) -> list[Block]:
+    """Reference tokenizer via html.parser.HTMLParser (kept for differential
+    testing against the fast path — both must emit identical blocks)."""
     p = _BlockTokenizer()
     p.feed(html)
     p.close()
     return p.blocks
+
+
+# ---------------------------------------------------------------------------
+# fast tokenizer (regex scan) — same Block output, ~4x faster than the
+# stdlib parser; this is the production path inside the pandas UDF.
+# ---------------------------------------------------------------------------
+# One pass over the byte stream: comments/doctype/CDATA are skipped; a tag
+# match captures (closing-slash, name, attrs, self-closing-slash).  Quoted
+# attribute values may contain '>'.
+_TOKEN_RE = re.compile(
+    r"<!--.*?-->"
+    r"|<!\[CDATA\[.*?\]\]>"
+    r"|<[!?][^>]*>"
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>",
+    re.DOTALL,
+)
+
+
+class _BlockState:
+    """Shared flush/data logic for the fast scanner (mirrors _BlockTokenizer)."""
+
+    __slots__ = ("blocks", "_buf", "_anchor_chars", "_anchor_depth", "_ignore_depth", "_depth")
+
+    def __init__(self) -> None:
+        self.blocks: list[Block] = []
+        self._buf: list[str] = []
+        self._anchor_chars = 0
+        self._anchor_depth = 0
+        self._ignore_depth = 0
+        self._depth = 0
+
+    def flush(self) -> None:
+        if not self._buf:
+            self._anchor_chars = 0
+            return
+        raw = "".join(self._buf)
+        self._buf.clear()
+        anchor = self._anchor_chars
+        self._anchor_chars = 0
+        parts = raw.split()  # rule N2: " ".join(split()) == collapse_ws
+        if not parts:
+            return
+        self.blocks.append(
+            Block(
+                text=" ".join(parts),
+                n_words=len(parts),
+                anchor_chars=anchor,
+                raw_chars=len(raw.strip()) or len(raw),
+                depth=self._depth,
+            )
+        )
+
+    def data(self, chunk: str) -> None:
+        if self._ignore_depth or not chunk:
+            return
+        if "&" in chunk:
+            chunk = _unescape(chunk)
+        self._buf.append(chunk)
+        if self._anchor_depth:
+            self._anchor_chars += len(chunk.strip()) or len(chunk)
+
+
+def tokenize_blocks(html: str) -> list[Block]:
+    st = _BlockState()
+    data, flush = st.data, st.flush  # bound-method hoist (hot loop)
+    pos = 0
+    for m in _TOKEN_RE.finditer(html):
+        start = m.start()
+        if start > pos:
+            data(html[pos:start])
+        pos = m.end()
+        slash, name, _attrs, selfc = m.group(1, 2, 3, 4)
+        if name is None:
+            continue  # comment / doctype / CDATA / processing instruction
+        if not name.islower():
+            name = name.lower()
+        closing = slash == "/"
+        if name in IGNORE_TAGS:
+            if closing:
+                if st._ignore_depth:
+                    st._ignore_depth -= 1
+            elif selfc != "/":
+                st._ignore_depth += 1
+            continue
+        if st._ignore_depth:
+            continue
+        if name in BLOCK_TAGS:
+            flush()
+        if selfc == "/":  # self-closing: no depth/anchor change
+            continue
+        if closing:
+            if name == "a" and st._anchor_depth:
+                st._anchor_depth -= 1
+            if st._depth:
+                st._depth -= 1
+        else:
+            if name == "a":
+                st._anchor_depth += 1
+            st._depth += 1
+    if pos < len(html):
+        data(html[pos:])
+    flush()
+    return st.blocks
 
 
 def classify_main(blocks: list[Block]) -> list[bool]:

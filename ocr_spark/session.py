@@ -46,6 +46,14 @@ def build_session(
         )
         # ---- determinism for the DuckDB oracle ---------------------------
         .config("spark.sql.session.timeZone", "UTC")
+        # ---- scan splitting sized for sandbox fixtures -------------------
+        # (~MB-scale files must still fan out across all cores; a production
+        #  100 TB table has >128 MB files and keeps the 128m default)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("OCR_SPARK_MAX_PARTITION_BYTES", "1048576"),
+        )
+        .config("spark.sql.files.openCostInBytes", "65536")
         # ---- stragglers: extraction time varies ~100x by doc size --------
         .config("spark.speculation", "true")
         # ---- local-mode memory (driver == the one JVM) -------------------

@@ -1,0 +1,107 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule).
+
+No real cluster exists in this sandbox, so per driver instruction the
+N-vs-4N-executor criterion is evidenced by running the SAME job on the SAME
+input at local[8] and local[32] (fresh JVM each, measured warm so Python
+worker spawn / codegen cold-start is excluded from the scaling comparison —
+on a real cluster executors are long-lived).
+
+scaling efficiency = throughput(4N) / (4 x throughput(N)), target >= 0.8.
+
+Usage: python tools/scaling.py [--update-bench-md]
+Child mode (internal): python tools/scaling.py --child <cores>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def child(cores: int) -> None:
+    sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
+    from ocr_spark.fixtures.generator import ensure_fixtures
+    from ocr_spark.operators.extract import extract_pages
+    from ocr_spark.session import build_session
+
+    bench_dir = ensure_fixtures("bench")
+    spark = build_session(f"scaling-{cores}", cores=cores)
+    pages = spark.read.parquet(f"{bench_dir}/pages.parquet")
+    n_docs, html_mb = [
+        (r["n"], r["mb"])
+        for r in pages.agg(
+            F.count(F.lit(1)).alias("n"), (F.sum(F.length("html")) / 1e6).alias("mb")
+        ).collect()
+    ][0]
+
+    def run() -> float:
+        t0 = time.time()
+        extract_pages(pages).agg(
+            F.count(F.lit(1)), F.sum(F.length("text"))
+        ).collect()
+        return time.time() - t0
+
+    cold = run()  # spawns workers, compiles — reported but not compared
+    warm = min(run() for _ in range(3))
+    print(
+        "CHILD_RESULT "
+        + json.dumps(
+            {
+                "cores": cores,
+                "docs": int(n_docs),
+                "html_mb": round(float(html_mb), 2),
+                "cold_sec": round(cold, 3),
+                "warm_sec": round(warm, 3),
+                "docs_per_sec": round(n_docs / warm, 1),
+                "mb_per_sec": round(float(html_mb) / warm, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+def run_child(cores: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child", str(cores)],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=900,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("CHILD_RESULT "):
+            return json.loads(line[len("CHILD_RESULT ") :])
+    raise RuntimeError(f"child failed (cores={cores}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]))
+        return
+    n, n4 = 8, 32
+    r_n = run_child(n)
+    r_4n = run_child(n4)
+    eff = r_4n["docs_per_sec"] / (4.0 * r_n["docs_per_sec"])
+    result = {
+        "N_cores": n,
+        "4N_cores": n4,
+        "N": r_n,
+        "4N": r_4n,
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result, indent=2))
+    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
