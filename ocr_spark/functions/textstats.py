@@ -10,6 +10,8 @@ rolling-hash fingerprints) and are checked by pytest goldens.
 
 from __future__ import annotations
 
+from zlib import crc32 as _crc32
+
 import numpy as np
 
 # ---------------------------------------------------------------------------
@@ -26,11 +28,13 @@ def splitmix64(x: int) -> int:
 
 
 def hash64(s: str, seed: int = 0) -> int:
-    """FNV-1a 64 over utf-8 bytes, finalized with splitmix64(seed mix)."""
-    h = 0xCBF29CE484222325
-    for b in s.encode("utf-8"):
-        h = ((h ^ b) * 0x100000001B3) & _MASK64
-    return splitmix64(h ^ splitmix64(seed))
+    """Deterministic 64-bit string hash at C speed: two independent crc32
+    passes (different init values) form the hi/lo words, then a splitmix64
+    finalizer.  Stable across processes/runs (unlike builtin hash())."""
+    b = s.encode("utf-8")
+    lo = _crc32(b)
+    hi = _crc32(b, 0x9E3779B9)
+    return splitmix64(((hi << 32) | lo) ^ splitmix64(seed))
 
 
 # ---------------------------------------------------------------------------
@@ -50,21 +54,30 @@ def word_ngrams(text: str, n: int = 3) -> set[str]:
     return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
 
 
+_PERM_SEEDS_CACHE: dict[int, np.ndarray] = {}
+
+
+def _perm_seeds(num_perm: int) -> np.ndarray:
+    if num_perm not in _PERM_SEEDS_CACHE:
+        _PERM_SEEDS_CACHE[num_perm] = np.array(
+            [splitmix64(i + 1) for i in range(num_perm)], dtype=np.uint64
+        )
+    return _PERM_SEEDS_CACHE[num_perm]
+
+
 def minhash_signature(shingles: set[str], num_perm: int = 64) -> np.ndarray:
-    """num_perm 64-bit min-hashes via seeded re-hash (h_i(x) = hash64(x, i))."""
-    sig = np.full(num_perm, _MASK64, dtype=np.uint64)
+    """num_perm 64-bit min-hashes: one splitmix64 round per (perm, shingle)
+    over the base hashes, fully vectorized as a (num_perm, n) matrix."""
     if not shingles:
-        return sig
+        return np.full(num_perm, _MASK64, dtype=np.uint64)
     base = np.array([hash64(s) for s in shingles], dtype=np.uint64)
-    for i in range(num_perm):
-        # one splitmix round per permutation over the base hashes (vectorized)
-        x = (base + np.uint64(splitmix64(i + 1))) & np.uint64(_MASK64)
-        x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(_MASK64)
-        x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(_MASK64)
-        x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(_MASK64)
+    with np.errstate(over="ignore"):
+        x = base[None, :] + _perm_seeds(num_perm)[:, None]  # (num_perm, n)
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         x = x ^ (x >> np.uint64(31))
-        sig[i] = x.min()
-    return sig
+    return x.min(axis=1)
 
 
 def lsh_bands(sig: np.ndarray, bands: int = 16) -> list[int]:
@@ -79,17 +92,21 @@ def lsh_bands(sig: np.ndarray, bands: int = 16) -> list[int]:
     return out
 
 
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features."""
-    acc = np.zeros(64, dtype=np.int64)
-    for w in text.lower().split():
-        h = hash64(w)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
+    """64-bit SimHash over word features (vectorized bit unpack)."""
+    words = text.lower().split()
+    if not words:
+        return 0
+    hashes = np.array([hash64(w) for w in words], dtype=np.uint64)
+    # bits[i, j] = bit j of hash i  -> column sums vs n/2 give the sign
+    bits = (hashes[:, None] >> _BIT_SHIFTS) & np.uint64(1)
+    votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(words)
     out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+    for j in np.nonzero(votes > 0)[0]:
+        out |= 1 << int(j)
     return out
 
 
