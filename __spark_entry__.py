@@ -127,6 +127,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         wet = extract_pages(pages.withColumn("html", F.lit(None).cast("binary")))
         return wet.filter(F.col("text") != "").select("url", "text")
 
+    def q_extract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ocr_spark.operators.report import extraction_report
+
+        pages = spark.read.parquet(f"{fix}/pages.parquet")
+        return extraction_report(extract_pages(pages))
+
+    def q_attendance_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ocr_spark.operators.report import attendance_qa
+
+        docs = spark.read.parquet(f"{fix}/attendance_docs.parquet")
+        return attendance_qa(attendance_records(docs))
+
+    def q_record_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """P2+P3: replace one record field with a coerced value, flatten."""
+        from ocr_spark.operators.record_ops import coerce_like, update_field
+
+        docs = spark.read.parquet(f"{fix}/attendance_docs.parquet")
+        recs = attendance_records(docs)
+        updated = update_field(
+            recs, "salle_n", F.lit("999"),
+        )
+        updated = update_field(
+            updated, "nombre_des_présents", coerce_like(F.lit("42.7"), "bigint")
+        )
+        return updated.select(
+            "url",
+            F.col("fields.salle_n").alias("salle_n"),
+            F.col("fields.nombre_des_présents").alias("nombre_des_présents"),
+            F.col("fields.classe").alias("classe"),
+        )
+
     # -- dedup family -----------------------------------------------------
     def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         return exact_dedup(_pq(spark, sf_dir, "documents")).select(
@@ -281,6 +312,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attendance_explode": q_attendance_explode,
         "attendance_json": q_attendance_json,
         "wet_normalize": q_wet_normalize,
+        "extract_report": q_extract_report,
+        "attendance_qa": q_attendance_qa,
+        "record_update": q_record_update,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
@@ -340,6 +374,29 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS text
             FROM '{pages}'
             WHERE trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) != ''
+        """,
+        "extract_report": f"""
+            SELECT p.lang,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN g.expect_error THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+                   CAST(SUM(length(g.text)) AS BIGINT) AS total_chars,
+                   CAST(SUM(CAST(g.n_blocks AS BIGINT)) AS BIGINT) AS total_blocks,
+                   CAST(MAX(length(g.text)) AS BIGINT) AS max_chars,
+                   round(CAST(SUM(CASE WHEN g.expect_error THEN 1 ELSE 0 END) AS BIGINT)
+                         / greatest(COUNT(*), 1), 6) AS error_rate
+            FROM '{pages}' p JOIN '{gp}' g USING (url)
+            GROUP BY p.lang
+        """,
+        "attendance_qa": f"""
+            SELECT url, "nombre_des_présents" AS declared,
+                   CAST(len("présences") AS BIGINT) AS actual,
+                   "nombre_des_présents" != len("présences") AS count_mismatch
+            FROM '{ga}'
+        """,
+        "record_update": f"""
+            SELECT url, '999' AS salle_n, CAST(42 AS BIGINT) AS nombre_des_présents,
+                   classe
+            FROM '{ga}'
         """,
         # relational ops vs true independent SQL
         "dedup_exact": """

@@ -1,0 +1,50 @@
+"""The production extraction job — the artifact `spark-submit --py-files`
+launches on a cluster (BASELINE.json north_rule).
+
+    spark-submit --py-files dist/ocr_spark.zip jobs/extract_job.py \
+        --input <pages parquet/Iceberg path> --output <icelite table root> \
+        --buckets 16 --group-size 4
+
+Resumable: rerunning after a crash skips committed bucket groups (the
+icelite manifest chain is the checkpoint).  In local testing the session is
+created by the script; under spark-submit the existing session is reused.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="pages parquet path")
+    p.add_argument("--output", required=True, help="icelite table root")
+    p.add_argument("--buckets", type=int, default=16)
+    p.add_argument("--group-size", type=int, default=4)
+    p.add_argument("--salt", type=int, default=0)
+    p.add_argument("--cores", type=int, default=None, help="local mode only")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from ocr_spark.plans.pipeline import ExtractionPipeline
+    from ocr_spark.session import build_session
+    from ocr_spark.sources.icelite import IceliteTable
+
+    spark = SparkSession.getActiveSession() or build_session(
+        "extract-job", cores=args.cores
+    )
+    pages = spark.read.parquet(args.input)
+    table = IceliteTable(args.output, key_col="url", n_buckets=args.buckets)
+    pipe = ExtractionPipeline(
+        table, n_buckets=args.buckets, group_size=args.group_size, salt=args.salt
+    )
+    stats = pipe.run(pages)
+    print(json.dumps({"job": "extract", "output": args.output, **stats}))
+    return stats
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

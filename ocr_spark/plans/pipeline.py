@@ -63,7 +63,10 @@ class ExtractionPipeline:
         ``fail_after_groups`` simulates a mid-job crash (for the resume
         property test): raises after that many group commits.
         """
-        stats = {"groups": 0, "docs": 0, "errors": 0, "html_bytes": 0, "text_chars": 0}
+        # (html byte counters intentionally absent: the input is scanned by
+        # two branches post-dispatch, so an input-side observe double-counts;
+        # bench.py measures MB/sec explicitly instead)
+        stats = {"groups": 0, "docs": 0, "errors": 0, "text_chars": 0}
         for i, group in enumerate(self.remaining_groups()):
             if fail_after_groups is not None and i >= fail_after_groups:
                 raise RuntimeError(f"simulated crash after {fail_after_groups} groups")
@@ -92,5 +95,6 @@ class ExtractionPipeline:
             stats["groups"] += 1
             stats["docs"] += got["docs"]
             stats["errors"] += got["errors"]
+            stats["html_bytes"] += got["html_bytes"]
             stats["text_chars"] += got["text_chars"]
         return stats

@@ -1,0 +1,92 @@
+"""Record update/coercion (P2-P4), QA report (A1-A2), streaming window agg."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.attendance import attendance_records
+from ocr_spark.operators.extract import extract_pages
+from ocr_spark.operators.record_ops import coerce_like, display_value, update_field
+from ocr_spark.operators.report import attendance_qa, extraction_report
+
+
+def test_update_field_unicode_name(spark, tiny_dir):
+    docs = spark.read.parquet(f"{tiny_dir}/attendance_docs.parquet")
+    recs = attendance_records(docs)
+    upd = update_field(recs, "nombre_des_présents", F.lit(7).cast("bigint"))
+    vals = upd.select(F.col("fields.nombre_des_présents").alias("v")).distinct().collect()
+    assert [r["v"] for r in vals] == [7]
+    # other fields untouched
+    same = upd.select(F.col("fields.classe").alias("c")).exceptAll(
+        recs.select(F.col("fields.classe").alias("c"))
+    )
+    assert same.count() == 0
+
+
+def test_coerce_like(spark):
+    df = spark.range(1).select(
+        coerce_like(F.lit("42.7"), "double").alias("d"),
+        coerce_like(F.lit("42.7"), "bigint").alias("i"),
+        coerce_like(F.lit("true"), "boolean").alias("bt"),
+        coerce_like(F.lit("nope"), "boolean").alias("bf"),
+        coerce_like(F.lit("x"), "double").alias("bad"),
+    )
+    r = df.first()
+    assert r["d"] == 42.7 and r["i"] == 42 and r["bt"] is True and r["bf"] is False
+    assert r["bad"] is None  # parseFloat("x") -> NaN analogue
+
+
+def test_display_value_pretty_json(spark, tiny_dir):
+    docs = spark.read.parquet(f"{tiny_dir}/attendance_docs.parquet")
+    recs = attendance_records(docs).limit(1)
+    s = recs.select(display_value(F.col("fields")).alias("d")).first()["d"]
+    assert s.startswith("{\n")  # pretty-printed (data-editor.tsx:44-51)
+
+
+def test_extraction_report(spark, tiny_dir):
+    pages = spark.read.parquet(f"{tiny_dir}/pages.parquet")
+    rep = extraction_report(extract_pages(pages))
+    rows = {r["lang"]: r for r in rep.collect()}
+    assert sum(r["n_docs"] for r in rows.values()) == 100
+    for r in rows.values():
+        assert 0.0 <= r["error_rate"] <= 1.0
+        assert r["total_chars"] >= r["max_chars"]
+
+
+def test_attendance_qa_never_recomputes(spark, tiny_dir):
+    """A2: declared count is kept verbatim even when it disagrees."""
+    docs = spark.read.parquet(f"{tiny_dir}/attendance_docs.parquet")
+    qa = attendance_qa(attendance_records(docs))
+    golden = spark.read.parquet(f"{tiny_dir}/golden_attendance.parquet").select(
+        "url", F.col("nombre_des_présents").alias("gdecl")
+    )
+    j = qa.join(golden, "url")
+    assert j.filter(F.col("declared") != F.col("gdecl")).count() == 0
+    # the generator plants disagreements -> some mismatches must surface
+    assert qa.filter("count_mismatch").count() > 0
+
+
+def test_streaming_windowed_agg(spark):
+    """Watermark + windowed aggregation over the events stream (the
+    standard late-data pattern, exercised with availableNow + memory sink)."""
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    events = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet("/root/testdata/sf0.001")
+    )
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ev_window")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT count(*) AS c FROM ev_window").first()["c"]
+    assert got > 0
