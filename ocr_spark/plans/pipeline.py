@@ -95,6 +95,5 @@ class ExtractionPipeline:
             stats["groups"] += 1
             stats["docs"] += got["docs"]
             stats["errors"] += got["errors"]
-            stats["html_bytes"] += got["html_bytes"]
             stats["text_chars"] += got["text_chars"]
         return stats
