@@ -36,7 +36,11 @@ def main(argv: list[str] | None = None) -> None:
     spark = SparkSession.getActiveSession() or build_session(
         "extract-job", cores=args.cores
     )
-    pages = spark.read.parquet(args.input)
+    try:
+        pages = spark.read.parquet(args.input)
+    except Exception as e:  # noqa: BLE001 — operator-friendly CLI error
+        print(f"error: cannot read --input {args.input!r}: {type(e).__name__}", file=sys.stderr)
+        raise SystemExit(2) from None
     table = IceliteTable(args.output, key_col="url", n_buckets=args.buckets)
     pipe = ExtractionPipeline(
         table, n_buckets=args.buckets, group_size=args.group_size, salt=args.salt

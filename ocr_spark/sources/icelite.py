@@ -245,10 +245,17 @@ class IceliteTable:
         return sid
 
     # ------------------------------------------------------------------ read
-    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
         """Snapshot-isolated read; ``buckets`` prunes at the manifest level
-        (the file list shrinks before Spark ever lists anything)."""
-        head = self.snapshot()
+        (the file list shrinks before Spark ever lists anything).
+        ``snapshot_id`` time-travels to an earlier committed state (Iceberg
+        ``VERSION AS OF`` semantics — old data files are never mutated)."""
+        head = self.snapshot(snapshot_id)
         if head is None or not head.files:
             raise FileNotFoundError(f"icelite table at {self.root} is empty")
         wanted = (
@@ -267,6 +274,41 @@ class IceliteTable:
     def _any_schema(self, spark: SparkSession, head: Snapshot):
         some = next(p for ps in head.files.values() for p in ps)
         return spark.read.parquet(os.path.join(self.root, some)).schema
+
+    # ----------------------------------------------------------- maintenance
+    def compact(self, spark: SparkSession, max_files_per_bucket: int = 1) -> int | None:
+        """Small-file compaction: any bucket with more data files than
+        ``max_files_per_bucket`` is rewritten into one file.  Content is
+        unchanged (same rows, new layout) — the lakehouse maintenance op
+        that keeps scan task counts proportional to data, not to commit
+        history.  Returns the new snapshot id, or None if nothing to do."""
+        head = self.snapshot()
+        if head is None:
+            return None
+        fat = {b: ps for b, ps in head.files.items() if len(ps) > max_files_per_bucket}
+        if not fat:
+            return None
+        sid = head.snapshot_id + 1
+        paths = [os.path.join(self.root, p) for ps in fat.values() for p in ps]
+        rewritten = spark.read.parquet(*paths)
+        files, file_rows = self._write_data(rewritten, sid)
+        new_files = {b: list(ps) for b, ps in head.files.items() if b not in fat}
+        new_rows = {p: head.file_rows[p] for ps in new_files.values() for p in ps}
+        for b, ps in files.items():
+            new_files.setdefault(b, []).extend(ps)
+            for p in ps:
+                new_rows[p] = file_rows[p]
+        self._commit(
+            Snapshot(
+                sid,
+                head.snapshot_id,
+                "compact",
+                new_files,
+                new_rows,
+                {"compacted_buckets": sorted(fat)},
+            )
+        )
+        return sid
 
     # --------------------------------------------------------------- lineage
     def row_count(self) -> int:

@@ -73,3 +73,31 @@ def test_merge_untouched_buckets_carry_over(spark, tmp_table):
     # at least one bucket's file list is unchanged (carried by reference)
     untouched = [b for b in before.files if before.files[b] == after.files.get(b)]
     assert untouched
+
+
+def test_time_travel_read(spark, tmp_table):
+    tmp_table.append(_df(spark, [("u1", 1)]))
+    s1 = tmp_table.head_id()
+    tmp_table.merge(_df(spark, [("u1", 100), ("u2", 2)]))
+    now = {r["url"]: r["v"] for r in tmp_table.read(spark).collect()}
+    then = {r["url"]: r["v"] for r in tmp_table.read(spark, snapshot_id=s1).collect()}
+    assert now == {"u1": 100, "u2": 2}
+    assert then == {"u1": 1}  # VERSION AS OF semantics
+
+
+def test_compaction_preserves_content(spark, tmp_table):
+    # several appends -> multiple files per bucket
+    for i in range(4):
+        tmp_table.append(_df(spark, [(f"u{i}a", i), (f"u{i}b", 10 + i)]))
+    before = sorted((r["url"], r["v"]) for r in tmp_table.read(spark).collect())
+    head = tmp_table.snapshot()
+    assert any(len(ps) > 1 for ps in head.files.values())
+    sid = tmp_table.compact(spark)
+    assert sid is not None
+    after_head = tmp_table.snapshot()
+    assert all(len(ps) == 1 for ps in after_head.files.values())
+    after = sorted((r["url"], r["v"]) for r in tmp_table.read(spark).collect())
+    assert before == after
+    assert after_head.operation == "compact"
+    # idempotent: nothing left to compact
+    assert tmp_table.compact(spark) is None

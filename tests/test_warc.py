@@ -1,0 +1,71 @@
+"""WARC source: container parsing, skip semantics, end-to-end byte-identity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.extract import extract_pages
+from ocr_spark.sources.warc import parse_warc_bytes, read_warc, warc_lineage
+
+
+def _record(wtype: bytes, uri: bytes, body: bytes) -> bytes:
+    head = (
+        b"WARC/1.0\r\nWARC-Type: " + wtype + b"\r\nWARC-Target-URI: " + uri
+        + b"\r\nWARC-Date: 2025-01-01T00:00:00Z\r\nContent-Length: "
+        + str(len(body)).encode() + b"\r\n\r\n"
+    )
+    return head + body + b"\r\n\r\n"
+
+
+def _http(html: bytes, ctype: bytes = b"text/html") -> bytes:
+    return b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n\r\n" + html
+
+
+def test_parse_warc_basic():
+    payload = (
+        _record(b"response", b"http://a/1", _http(b"<p>hello</p>"))
+        + _record(b"request", b"http://a/1", b"GET / HTTP/1.1\r\n\r\n")
+        + _record(b"response", b"http://a/2", _http(b"data", b"image/png"))
+        + _record(b"response", b"http://a/3", _http(b"<p>world</p>"))
+    )
+    rows, bad = parse_warc_bytes(payload, "f")
+    assert [(r["url"], r["html"]) for r in rows] == [
+        ("http://a/1", b"<p>hello</p>"),
+        ("http://a/3", b"<p>world</p>"),
+    ]
+    assert bad == 0
+    assert rows[0]["warc_ts"].year == 2025
+
+
+def test_parse_warc_malformed_counted_not_fatal():
+    good = _record(b"response", b"http://a/1", _http(b"<p>x</p>"))
+    garbage = b"NOT A RECORD AT ALL\r\n\r\nmore junk\r\n\r\n"
+    missing_len = b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n"
+    rows, bad = parse_warc_bytes(garbage + good + missing_len, "f")
+    assert [r["url"] for r in rows] == ["http://a/1"]
+    assert bad >= 2
+
+
+def test_parse_warc_truncated_tail():
+    good = _record(b"response", b"http://a/1", _http(b"<p>x</p>"))
+    rows, bad = parse_warc_bytes(good + b"\r\nWARC/1.0\r\nWARC-Ty", "f")
+    assert len(rows) == 1  # truncated trailing record dropped, no raise
+
+
+def test_warc_to_extraction_byte_identical(spark, tiny_dir):
+    """Full path: WARC container -> pages -> extraction == goldens."""
+    pages = read_warc(spark, f"{tiny_dir}/warc")
+    assert pages.count() == 100  # every generated doc round-trips
+    ext = extract_pages(pages.drop("warc_file"))
+    golden = spark.read.parquet(f"{tiny_dir}/golden_pages.parquet").select(
+        "url", F.col("text").alias("gtext")
+    )
+    j = ext.join(golden, "url")
+    assert j.count() == 100
+    assert j.filter(F.col("text") != F.col("gtext")).count() == 0
+
+
+def test_warc_lineage(spark, tiny_dir):
+    lin = warc_lineage(spark, f"{tiny_dir}/warc").collect()
+    assert len(lin) == 4  # one row per container file
+    assert sum(r["n_pages"] for r in lin) == 100
