@@ -127,6 +127,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         wet = extract_pages(pages.withColumn("html", F.lit(None).cast("binary")))
         return wet.filter(F.col("text") != "").select("url", "text")
 
+    def q_ocr_attendance(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Engine-A chain: glyph boxes -> XY-cut OCR -> structured fields."""
+        from ocr_spark.operators.layout_ops import ocr_structured_records
+
+        glyphs = spark.read.parquet(f"{fix}/attendance_glyphs.parquet")
+        doc_map = spark.read.parquet(f"{fix}/attendance_glyph_docs.parquet")
+        r = ocr_structured_records(glyphs, doc_map)
+        return r.select(
+            "url",
+            F.col("fields.classe").alias("classe"),
+            F.col("fields.nombre_des_présents").alias("nombre_des_présents"),
+            F.col("fields.salle_n").alias("salle_n"),
+            F.size("fields.présences").cast("bigint").alias("n_students"),
+        )
+
     def q_extract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ocr_spark.operators.report import extraction_report
 
@@ -312,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attendance_explode": q_attendance_explode,
         "attendance_json": q_attendance_json,
         "wet_normalize": q_wet_normalize,
+        "ocr_attendance": q_ocr_attendance,
         "extract_report": q_extract_report,
         "attendance_qa": q_attendance_qa,
         "record_update": q_record_update,
@@ -374,6 +390,11 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS text
             FROM '{pages}'
             WHERE trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) != ''
+        """,
+        "ocr_attendance": f"""
+            SELECT url, classe, "nombre_des_présents", salle_n,
+                   CAST(len("présences") AS BIGINT) AS n_students
+            FROM '{ga}'
         """,
         "extract_report": f"""
             SELECT p.lang,

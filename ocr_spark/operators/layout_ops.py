@@ -35,6 +35,23 @@ def glyphs_to_page_text(glyphs: DataFrame) -> DataFrame:
     return glyphs.groupBy("doc_id", "page").applyInPandas(_page_fn, PAGE_TEXT_SCHEMA)
 
 
+def ocr_structured_records(glyphs: DataFrame, doc_map: DataFrame) -> DataFrame:
+    """The reference's engine-A chain end-to-end (SURVEY.md §3.1 steps 4-5:
+    Vision OCR text -> structuring prompt), deterministic: glyph boxes ->
+    XY-cut reading-order text -> label-anchored field structuring.
+
+    ``doc_map(doc_id, url)`` keys the output by url (broadcast — it is one
+    row per document, tiny relative to the glyph table).
+    """
+    from pyspark.sql.functions import broadcast
+
+    from ocr_spark.operators.attendance import attendance_records
+
+    doc_text = pages_to_doc_text(glyphs_to_page_text(glyphs))
+    keyed = doc_text.join(broadcast(doc_map), "doc_id").select("url", "text")
+    return attendance_records(keyed, text_col="text")
+
+
 def pages_to_doc_text(page_texts: DataFrame) -> DataFrame:
     """Assemble per-document text: pages in order joined by \\n (JVM-side —
     collect_list + array_sort on (page, text) structs, no Python)."""

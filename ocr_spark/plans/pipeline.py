@@ -57,17 +57,21 @@ class ExtractionPipeline:
         self,
         pages: DataFrame,
         fail_after_groups: int | None = None,
+        force: bool = False,
     ) -> dict:
         """Process all remaining bucket groups; returns lineage summary.
 
         ``fail_after_groups`` simulates a mid-job crash (for the resume
         property test): raises after that many group commits.
+        ``force=True`` reprocesses every group (the reference's re-process
+        path, C3: the MERGE overwrites prior rows per key, page.tsx:183-187).
         """
         # (html byte counters intentionally absent: the input is scanned by
         # two branches post-dispatch, so an input-side observe double-counts;
         # bench.py measures MB/sec explicitly instead)
         stats = {"groups": 0, "docs": 0, "errors": 0, "text_chars": 0}
-        for i, group in enumerate(self.remaining_groups()):
+        groups = self.bucket_groups() if force else self.remaining_groups()
+        for i, group in enumerate(groups):
             if fail_after_groups is not None and i >= fail_after_groups:
                 raise RuntimeError(f"simulated crash after {fail_after_groups} groups")
             part = pages.filter(

@@ -146,3 +146,27 @@ def test_doc_assembly(spark, tiny_dir):
         .select("doc_id", F.array_join(F.transform("p", lambda x: x["text"]), "\n").alias("wtext"))
     )
     assert docs.join(want, "doc_id").filter(F.col("text") != F.col("wtext")).count() == 0
+
+
+def test_engine_a_chain_glyphs_to_fields(spark, tiny_dir):
+    """Engine-A parity: rendered attendance sheets -> XY-cut OCR ->
+    structuring == golden fields (the reference's Vision+Gemini path,
+    deterministic)."""
+    from ocr_spark.operators.layout_ops import ocr_structured_records
+
+    glyphs = spark.read.parquet(f"{tiny_dir}/attendance_glyphs.parquet")
+    doc_map = spark.read.parquet(f"{tiny_dir}/attendance_glyph_docs.parquet")
+    recs = ocr_structured_records(glyphs, doc_map)
+    golden = spark.read.parquet(f"{tiny_dir}/golden_attendance.parquet")
+    gstruct = golden.select(
+        "url",
+        F.to_json(
+            F.struct(
+                "classe", "cours", "date", "nom_du_professeur",
+                "nombre_des_présents", "salle_n", "séance", "présences",
+            )
+        ).alias("gjson"),
+    )
+    j = with_json_output(recs).join(gstruct, "url")
+    assert j.count() == golden.count()
+    assert j.filter(F.col("json_output") != F.col("gjson")).count() == 0
