@@ -101,3 +101,22 @@ def test_compaction_preserves_content(spark, tmp_table):
     assert after_head.operation == "compact"
     # idempotent: nothing left to compact
     assert tmp_table.compact(spark) is None
+
+
+def test_merge_sequence_matches_dict_semantics(spark, tmp_table):
+    """Property: any sequence of keyed merges is equivalent to applying
+    dict.update per batch (exactly-once visible value per key)."""
+    import random
+
+    rng = random.Random(7)
+    model: dict[str, int] = {}
+    for step in range(5):
+        batch = [(f"u{rng.randrange(12)}", rng.randrange(1000)) for _ in range(rng.randrange(1, 6))]
+        dedup = {}
+        for k, v in batch:
+            dedup[k] = v  # last-wins inside a batch is NOT guaranteed; make unique
+        batch = list(dedup.items())
+        model.update(batch)
+        tmp_table.merge(_df(spark, batch))
+        got = {r["url"]: r["v"] for r in tmp_table.read(spark).collect()}
+        assert got == model, f"diverged at step {step}"
