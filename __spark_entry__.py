@@ -22,11 +22,41 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import os
+import sys
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _prep(spark: SparkSession) -> SparkSession:
+    """Make ``ocr_spark`` importable on executor Python workers even when
+    the harness runs from a different working directory: ship the package
+    via addPyFile (idempotent per session)."""
+    if getattr(spark, "_ocr_spark_pyfiles", False):
+        return spark
+    zip_path = os.path.join(_REPO, "dist", "ocr_spark_pyfiles.zip")
+    os.makedirs(os.path.dirname(zip_path), exist_ok=True)
+    with zipfile.ZipFile(zip_path, "w") as z:
+        pkg = os.path.join(_REPO, "ocr_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, _REPO))
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:  # noqa: BLE001 — already added or connect-mode: harmless
+        pass
+    spark._ocr_spark_pyfiles = True
+    return spark
 
 from ocr_spark.fixtures.generator import ensure_fixtures
 from ocr_spark.operators.attendance import attendance_records, with_json_output
@@ -61,6 +91,7 @@ def _pq(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full extraction stage over the pages fixture."""
+    _prep(spark)
     fix = ensure_fixtures("tiny")
     pages = spark.read.parquet(f"{fix}/pages.parquet")
     return extract_pages(pages)
@@ -319,7 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
-    return {
+    raw = {
         "extract_html": q_extract_html,
         "extract_spans": q_extract_spans,
         "extract_layout": q_extract_layout,
@@ -347,6 +378,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "merge_upsert_effect": q_merge_upsert_effect,
         "broadcast_join_agg": q_broadcast_join_agg,
+    }
+    # every callable first ships ocr_spark to the executors (harness-proof)
+    return {
+        name: (lambda f: lambda spark, sf_dir: f(_prep(spark), sf_dir))(fn)
+        for name, fn in raw.items()
     }
 
 
