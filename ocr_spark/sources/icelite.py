@@ -310,6 +310,37 @@ class IceliteTable:
         )
         return sid
 
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Iceberg-style maintenance: drop history older than the last
+        ``keep_last`` snapshots and delete data files no newer snapshot
+        references.  Readers of retained snapshots are unaffected (their
+        file sets are untouched).  Returns the deleted file paths."""
+        snaps = self.snapshots()
+        if len(snaps) <= keep_last:
+            return []
+        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        live = {p for s in keep for ps in s.files.values() for p in ps}
+        doomed = {
+            p for s in drop for ps in s.files.values() for p in ps
+        } - live
+        for p in doomed:
+            full = os.path.join(self.root, p)
+            if os.path.exists(full):
+                os.remove(full)
+        # unlink history: oldest kept snapshot becomes the chain root
+        root_snap = keep[0]
+        root_snap.parent_id = None
+        tmp = self._snap_path(root_snap.snapshot_id) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(root_snap.to_json())
+        os.replace(tmp, self._snap_path(root_snap.snapshot_id))
+        for s in drop:
+            try:
+                os.remove(self._snap_path(s.snapshot_id))
+            except FileNotFoundError:
+                pass
+        return sorted(doomed)
+
     # --------------------------------------------------------------- lineage
     def row_count(self) -> int:
         head = self.snapshot()

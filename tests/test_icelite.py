@@ -120,3 +120,16 @@ def test_merge_sequence_matches_dict_semantics(spark, tmp_table):
         tmp_table.merge(_df(spark, batch))
         got = {r["url"]: r["v"] for r in tmp_table.read(spark).collect()}
         assert got == model, f"diverged at step {step}"
+
+
+def test_expire_snapshots(spark, tmp_table):
+    tmp_table.append(_df(spark, [("u1", 1)]))
+    tmp_table.merge(_df(spark, [("u1", 2)]))   # rewrites u1's bucket file
+    tmp_table.merge(_df(spark, [("u2", 3)]))
+    assert len(tmp_table.snapshots()) == 3
+    deleted = tmp_table.expire_snapshots(keep_last=1)
+    assert deleted  # the superseded u1-v1 file is gone
+    assert len(tmp_table.snapshots()) == 1
+    got = {r["url"]: r["v"] for r in tmp_table.read(spark).collect()}
+    assert got == {"u1": 2, "u2": 3}  # current state untouched
+    assert tmp_table.expire_snapshots(keep_last=1) == []  # idempotent

@@ -170,3 +170,16 @@ def test_engine_a_chain_glyphs_to_fields(spark, tiny_dir):
     j = with_json_output(recs).join(gstruct, "url")
     assert j.count() == golden.count()
     assert j.filter(F.col("json_output") != F.col("gjson")).count() == 0
+
+
+def test_doc_too_large_through_spark(spark):
+    """The per-doc byte cap (compute-skew bound) surfaces through the full
+    Spark path with the default payload intact."""
+    big = b"<p>" + b"x" * (9 * 1024 * 1024) + b"</p>"
+    df = spark.createDataFrame(
+        [("http://big/1", None, bytearray(big), None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    r = extract_pages(df).first()
+    assert r["error"].startswith("DOC_TOO_LARGE:")
+    assert r["text"] == "" and r["spans"] == [] and r["n_blocks"] == 0
