@@ -226,6 +226,81 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering (distributed connected components)
+# ---------------------------------------------------------------------------
+def near_dup_clusters(
+    ids: DataFrame, pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over a near-dup pair list, fully distributed:
+    iterative minimum-label propagation (each node adopts the smallest id
+    reachable over one hop, repeat to fixpoint).  No driver-side union-find
+    — the pair list at web scale doesn't fit a driver.  Converges in
+    O(diameter) rounds; near-dup clusters are tiny (dup groups), so a handful
+    of iterations suffices and ``max_iters`` is a safety bound.
+
+    ids:   (doc_id)            pairs: (id_a, id_b) with id_a < id_b
+    out:   (doc_id, cluster_id) — cluster_id = min doc_id of the component;
+           singletons are their own cluster.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = ids.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
+    for _ in range(max_iters):
+        # candidate label via one hop: min over neighbors' labels
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.u, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_label", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated.localCheckpoint(eager=True)  # truncate the lineage
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_pipeline(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The training-data dedup recipe end-to-end: exact dedup (md5) then
+    MinHash-LSH near-dup clustering; returns one canonical (min-id) row per
+    cluster with the cluster size."""
+    survivors = exact_dedup_keep(df, id_col, text_col)
+    pairs = minhash_dup_pairs(survivors, id_col, text_col, threshold=threshold)
+    clusters = near_dup_clusters(
+        survivors.select(F.col(id_col).alias("doc_id")), pairs
+    )
+    canon = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return survivors.join(
+        canon, survivors[id_col] == canon.cluster_id, "inner"
+    ).select(F.col(id_col), "cluster_size")
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 def _dot(a, b):

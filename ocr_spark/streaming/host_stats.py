@@ -1,0 +1,73 @@
+"""Custom stateful streaming operator: per-host running extraction stats.
+
+Demonstrates ``applyInPandasWithState`` — the arbitrary-stateful-processing
+primitive — on the extraction stream: for each host, maintain running
+(n_docs, n_errors, total_chars) across micro-batches and emit the updated
+totals whenever the host receives new documents.  At crawl scale this is
+the online per-host health/quota signal (e.g. stop fetching a host whose
+error rate explodes) that a batch groupBy cannot provide incrementally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+HOST_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("n_docs", T.LongType(), False),
+        T.StructField("n_errors", T.LongType(), False),
+        T.StructField("total_chars", T.LongType(), False),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("n_errors", T.LongType()),
+        T.StructField("total_chars", T.LongType()),
+    ]
+)
+
+
+def _update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    n_docs, n_errors, total_chars = state.get if state.exists else (0, 0, 0)
+    for pdf in pdfs:
+        n_docs += len(pdf)
+        n_errors += int(pdf["error"].notna().sum())
+        total_chars += int(pdf["text"].str.len().sum())
+    state.update((n_docs, n_errors, total_chars))
+    yield pd.DataFrame(
+        {
+            "host": [key[0]],
+            "n_docs": [n_docs],
+            "n_errors": [n_errors],
+            "total_chars": [total_chars],
+        }
+    )
+
+
+def host_stats_stream(extracted: DataFrame) -> DataFrame:
+    """extracted (streaming) -> running per-host stats (update-per-batch)."""
+    with_host = extracted.withColumn(
+        "host", F.regexp_extract("url", r"^https?://([^/]+)/", 1)
+    )
+    return (
+        with_host.select("host", "error", "text")
+        .groupBy("host")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=HOST_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -215,3 +215,31 @@ def test_streaming_extract(spark, tiny_dir, tmp_path):
     # second drain with same checkpoint: no new files -> no reprocessing
     n2 = run_stream_once(spark, str(in_dir), out, str(tmp_path / "ckpt"))
     assert n2 == 0 and out.row_count() == 100
+
+
+def test_near_dup_clusters(spark):
+    from ocr_spark.operators.dedup import near_dup_clusters
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    # components: {0,1,2,3} (chain), {5,6}, singletons 4 and 7
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(ids, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_dedup_pipeline_end_to_end(spark):
+    from ocr_spark.operators.dedup import dedup_pipeline
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running far away into the night woods"
+    rows = [
+        (1, base),
+        (2, base),                                  # exact dup of 1
+        (3, base.replace("night", "daylight")),     # near dup of 1
+        (4, "completely different text about query planners and adaptive execution in spark engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["cluster_size"] for r in dedup_pipeline(df, threshold=0.5).collect()}
+    # canonical docs: 1 (cluster {1,3} after exact-dedup removed 2) and 4
+    assert got == {1: 2, 4: 1}

@@ -90,3 +90,39 @@ def test_streaming_windowed_agg(spark):
     q.awaitTermination()
     got = spark.sql("SELECT count(*) AS c FROM ev_window").first()["c"]
     assert got > 0
+
+def test_stateful_host_stats_stream(spark, tiny_dir, tmp_path):
+    """applyInPandasWithState: per-host running totals accumulate across
+    micro-batches and survive within the checkpointed query."""
+    import shutil
+
+    from ocr_spark.operators.extract import extract_pages
+    from ocr_spark.schemas import PAGES_SCHEMA
+    from ocr_spark.streaming.host_stats import host_stats_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    shutil.copy(f"{tiny_dir}/pages.parquet", in_dir / "p.parquet")
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    stats = host_stats_stream(extract_pages(stream))
+    q = (
+        stats.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("host_stats")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT sum(n_docs) AS d, sum(n_errors) AS e FROM host_stats"
+    ).first()
+    assert got["d"] == 100  # every doc counted exactly once across hosts
+    # batch ground truth
+    pages = spark.read.parquet(f"{tiny_dir}/pages.parquet")
+    want_err = extract_pages(pages).filter(F.col("error").isNotNull()).count()
+    assert got["e"] == want_err
