@@ -210,6 +210,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_md5", "doc_id", F.col("n_copies").cast("bigint").alias("n_copies")
         )
 
+    def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ocr_spark.operators.dedup import exact_dedup_keep
+
+        return exact_dedup_keep(_pq(spark, sf_dir, "documents")).select(
+            "doc_id", "lang", "n_chars"
+        )
+
+    def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ocr_spark.operators.dedup import dedup_pipeline
+
+        return dedup_pipeline(_pq(spark, sf_dir, "documents"), threshold=0.8)
+
+    def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ocr_spark.sources.warc import read_warc
+
+        return read_warc(spark, f"{fix}/warc").select(
+            "url", F.length("html").cast("bigint").alias("html_len")
+        )
+
     def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ngram_jaccard_pairs(
             _pq(spark, sf_dir, "documents"), n=3, threshold=0.2
@@ -363,6 +382,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attendance_qa": q_attendance_qa,
         "record_update": q_record_update,
         "dedup_exact": q_dedup_exact,
+        "dedup_keep": q_dedup_keep,
+        "dedup_pipeline": q_dedup_pipeline,
+        "warc_roundtrip": q_warc_roundtrip,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -460,6 +482,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_md5, MIN(doc_id) AS doc_id,
                    COUNT(*) AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        "dedup_keep": """
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d
+            JOIN (SELECT MIN(doc_id) AS doc_id FROM documents
+                  GROUP BY md5(text)) k USING (doc_id)
+        """,
+        "warc_roundtrip": f"""
+            SELECT url, CAST(octet_length(html) AS BIGINT) AS html_len
+            FROM '{pages}'
         """,
         "ngram_jaccard": r"""
             WITH tok AS (
