@@ -133,3 +133,11 @@ def test_expire_snapshots(spark, tmp_table):
     got = {r["url"]: r["v"] for r in tmp_table.read(spark).collect()}
     assert got == {"u1": 2, "u2": 3}  # current state untouched
     assert tmp_table.expire_snapshots(keep_last=1) == []  # idempotent
+
+
+def test_merge_empty_batch_is_safe(spark, tmp_table):
+    tmp_table.append(_df(spark, [("u1", 1), ("u2", 2)]))
+    before = sorted((r["url"], r["v"]) for r in tmp_table.read(spark).collect())
+    tmp_table.merge(_df(spark, []).limit(0))
+    after = sorted((r["url"], r["v"]) for r in tmp_table.read(spark).collect())
+    assert before == after
