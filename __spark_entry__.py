@@ -149,6 +149,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "n", "nom_prénom"
         )
 
+    def q_attendance_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ocr_spark.operators.attendance import attendance_records_with_spans
+
+        docs = spark.read.parquet(f"{fix}/attendance_docs.parquet")
+        r = attendance_records_with_spans(docs).select(
+            "url", F.explode("spans").alias("s")
+        )
+        return r.select(
+            "url",
+            F.col("s.field").alias("span_field"),
+            F.col("s.begin").alias("span_begin"),
+            F.col("s.end").alias("span_end"),
+        )
+
     def q_attendance_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spark.read.parquet(f"{fix}/attendance_docs.parquet")
         return with_json_output(attendance_records(docs)).select("url", "json_output")
@@ -375,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_layout": q_extract_layout,
         "attendance_fields": q_attendance_fields,
         "attendance_explode": q_attendance_explode,
+        "attendance_spans": q_attendance_spans,
         "attendance_json": q_attendance_json,
         "wet_normalize": q_wet_normalize,
         "ocr_attendance": q_ocr_attendance,
@@ -442,6 +457,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "attendance_explode": f"""
             SELECT url, n, "nom_prénom" FROM '{gar}'
+        """,
+        "attendance_spans": f"""
+            SELECT url, span_field, span_begin, span_end
+            FROM '{fix}/golden_attendance_spans.parquet'
         """,
         "wet_normalize": rf"""
             SELECT url,

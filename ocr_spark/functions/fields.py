@@ -70,15 +70,32 @@ def extract_fields(doc_text: str | None) -> tuple[dict, str | None]:
     Never raises; on empty/None input returns the full default payload with
     an error marker (reference E6 semantics).
     """
-    fields = {k: (list(v) if isinstance(v, list) else v) for k, v in DEFAULT_FIELDS.items()}
+    fields, _spans, err = extract_fields_with_spans(doc_text)
+    return fields, err
+
+
+def extract_fields_with_spans(
+    doc_text: str | None,
+) -> tuple[dict, list[tuple[str, int, int]], str | None]:
+    """As :func:`extract_fields`, plus exact character spans: for every
+    recovered scalar field, the (begin, end) code-point offsets of its
+    VALUE in ``doc_text`` (end exclusive).  Omitted/defaulted fields have
+    no span.  Offsets follow normalize.py rule N5.
+    """
+    fields = {
+        k: (list(v) if isinstance(v, list) else v) for k, v in DEFAULT_FIELDS.items()
+    }
     if not doc_text or not doc_text.strip():
-        return fields, "EMPTY_INPUT"
+        return fields, [], "EMPTY_INPUT"
     found_scalar: set[str] = set()
     presences: list[dict] = []
+    spans: list[tuple[str, int, int]] = []
+    line_start = 0
     for line in doc_text.splitlines():
         m = _STUDENT_RE.match(line)
         if m:
             presences.append({"n": m.group(1), "nom_prénom": m.group(2)})
+            line_start += len(line) + 1
             continue
         for field, pat in _FIELD_PATTERNS:
             if field in found_scalar:
@@ -91,10 +108,15 @@ def extract_fields(doc_text: str | None) -> tuple[dict, str | None]:
                     if nm:
                         fields[field] = int(nm.group(0))
                         found_scalar.add(field)
+                        begin = line_start + fm.start(1) + nm.start()
+                        spans.append((field, begin, begin + len(nm.group(0))))
                 else:
                     if value:
                         fields[field] = value
                         found_scalar.add(field)
+                        begin = line_start + fm.start(1)
+                        spans.append((field, begin, begin + len(value)))
                 break
+        line_start += len(line) + 1
     fields["présences"] = presences
-    return fields, None
+    return fields, spans, None

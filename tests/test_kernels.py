@@ -196,3 +196,29 @@ def test_small_tier_attendance_exact(small_dir):
         f, _ = extract_fields(d["doc_text"])
         g = golden[d["url"]]
         assert f == {k: g[k] for k in f}, d["url"]
+
+
+def test_fields_spans_point_at_values():
+    from ocr_spark.functions.fields import extract_fields_with_spans
+
+    doc = "Classe: A3\nCours: Chimie\nNombre des présents: 12\n1. Alice B"
+    f, spans, err = extract_fields_with_spans(doc)
+    by_field = {s[0]: s for s in spans}
+    assert doc[by_field["classe"][1] : by_field["classe"][2]] == "A3"
+    assert doc[by_field["cours"][1] : by_field["cours"][2]] == "Chimie"
+    assert doc[by_field["nombre_des_présents"][1] : by_field["nombre_des_présents"][2]] == "12"
+    assert "salle_n" not in by_field  # omitted fields have no span
+
+
+def test_small_tier_attendance_spans_exact(small_dir):
+    import pyarrow.parquet as pq
+
+    from ocr_spark.functions.fields import extract_fields_with_spans
+
+    docs = pq.read_table(f"{small_dir}/attendance_docs.parquet").to_pylist()
+    golden = {}
+    for r in pq.read_table(f"{small_dir}/golden_attendance_spans.parquet").to_pylist():
+        golden.setdefault(r["url"], []).append((r["span_field"], r["span_begin"], r["span_end"]))
+    for d in docs:
+        _f, spans, _e = extract_fields_with_spans(d["doc_text"])
+        assert sorted(spans) == sorted(golden.get(d["url"], [])), d["url"]
