@@ -243,6 +243,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", F.length("html").cast("bigint").alias("html_len")
         )
 
+    def q_corpus_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ocr_spark.operators.corpus_filter import corpus_filter
+
+        _kept, audit = corpus_filter(
+            _pq(spark, sf_dir, "documents"), langs=None, rules={"min_chars": 60}
+        )
+        return audit
+
     def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ngram_jaccard_pairs(
             _pq(spark, sf_dir, "documents"), n=3, threshold=0.2
@@ -400,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep": q_dedup_keep,
         "dedup_pipeline": q_dedup_pipeline,
         "warc_roundtrip": q_warc_roundtrip,
+        "corpus_filter_audit": q_corpus_filter_audit,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -511,6 +520,33 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": f"""
             SELECT url, CAST(octet_length(html) AS BIGINT) AS html_len
             FROM '{pages}'
+        """,
+        "corpus_filter_audit": r"""
+            WITH m AS (
+              SELECT doc_id,
+                CASE WHEN length(text) < 60 THEN 'too_short'
+                     WHEN length(text) > 1000000 THEN 'too_long'
+                     WHEN round(len(regexp_extract_all(text, '[.,;:!?]'))
+                           / greatest(length(text), 1), 6) > 0.2 THEN 'punct_ratio'
+                     WHEN round(length(regexp_replace(text, '\s+', '', 'g'))
+                           / greatest(CASE WHEN trim(text) = '' THEN 0
+                                      ELSE len(string_split_regex(trim(text), '\s+')) END, 1), 6)
+                          > 14.0 THEN 'word_len'
+                END AS rule_fail,
+                md5(text) AS h
+              FROM documents
+            ),
+            surv AS (
+              SELECT MIN(doc_id) AS doc_id FROM m WHERE rule_fail IS NULL GROUP BY h
+            )
+            SELECT m.doc_id,
+                   (m.rule_fail IS NULL AND m.doc_id IN (SELECT doc_id FROM surv)) AS keep,
+                   COALESCE(
+                     CASE WHEN m.rule_fail IS NULL
+                               AND m.doc_id IN (SELECT doc_id FROM surv)
+                          THEN 'kept' END,
+                     m.rule_fail, 'duplicate') AS reason
+            FROM m
         """,
         "ngram_jaccard": r"""
             WITH tok AS (

@@ -1,0 +1,99 @@
+"""Corpus filtering: the standard training-data cleaning pass, composed.
+
+Chains the quality/langid/dedup operators into one pipeline over a
+documents table (the post-extraction stage of a web-scale corpus build):
+
+  1. rule filters (JVM-side, codegen): length bounds, punctuation ratio,
+     stopword ratio, mean word length — the C4-style heuristics;
+  2. language filter (kernel langid must agree with a target set);
+  3. exact dedup (md5, min-id survivor);
+  4. optional MinHash near-dup pruning (cluster -> keep min id).
+
+Every dropped row is *accounted for*: ``corpus_filter`` returns (kept_df,
+audit_df) where audit has one row per input doc with its fate — a corpus
+pipeline that silently drops data is undebuggable at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.dedup import exact_dedup, minhash_dup_pairs, near_dup_clusters
+from ocr_spark.operators.textstats_ops import with_lang_id, with_quality
+
+DEFAULT_RULES = {
+    "min_chars": 50,
+    "max_chars": 1_000_000,
+    "max_punct_ratio": 0.2,
+    "min_stopword_ratio": 0.0,
+    "max_mean_word_len": 14.0,
+}
+
+
+def corpus_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    langs: list[str] | None = None,
+    rules: dict | None = None,
+    near_dedup: bool = False,
+    near_threshold: float = 0.8,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (kept, audit).  audit: (id, keep boolean, reason string) —
+    reason is the FIRST failing stage, 'kept' otherwise."""
+    r = {**DEFAULT_RULES, **(rules or {})}
+    q = with_quality(df, text_col)
+    n_chars = F.length(F.col(text_col))
+    rule_fail = (
+        F.when(n_chars < r["min_chars"], F.lit("too_short"))
+        .when(n_chars > r["max_chars"], F.lit("too_long"))
+        .when(F.col("punct_ratio") > r["max_punct_ratio"], F.lit("punct_ratio"))
+        .when(F.col("stopword_ratio") < r["min_stopword_ratio"], F.lit("stopword_ratio"))
+        .when(F.col("mean_word_len") > r["max_mean_word_len"], F.lit("word_len"))
+    )
+    staged = q.withColumn("_rule_fail", rule_fail)
+    if langs is not None:
+        staged = with_lang_id(staged, text_col).withColumn(
+            "_lang_fail", ~F.col("lang_pred").isin(langs)
+        )
+    else:
+        staged = staged.withColumn("_lang_fail", F.lit(False))
+
+    candidates = staged.filter(
+        F.col("_rule_fail").isNull() & ~F.col("_lang_fail")
+    )
+    survivors = exact_dedup(candidates, id_col, text_col).select(id_col)
+    kept_ids = candidates.join(survivors, id_col, "left_semi")
+
+    if near_dedup:
+        pairs = minhash_dup_pairs(kept_ids, id_col, text_col, threshold=near_threshold)
+        clusters = near_dup_clusters(
+            kept_ids.select(F.col(id_col).alias("doc_id")), pairs
+        )
+        canonical = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+        final_ids = kept_ids.join(canonical, id_col, "left_semi")
+    else:
+        final_ids = kept_ids
+
+    kept = df.join(final_ids.select(id_col), id_col, "left_semi")
+    audit = (
+        staged.join(
+            final_ids.select(F.col(id_col).alias("_kept_id")),
+            staged[id_col] == F.col("_kept_id"),
+            "left",
+        )
+        .select(
+            id_col,
+            F.col("_kept_id").isNotNull().alias("keep"),
+            F.coalesce(
+                F.when(F.col("_kept_id").isNotNull(), F.lit("kept")),
+                F.col("_rule_fail"),
+                F.when(F.col("_lang_fail"), F.lit("lang")),
+                F.lit("duplicate"),
+            ).alias("reason"),
+        )
+    )
+    return kept, audit

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -73,6 +75,64 @@ def _kmeans_lite(
     return cents
 
 
+def build_ivf_index(
+    df: DataFrame,
+    n_lists: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 512,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Build the IVF index: centroids from a deterministic driver-side
+    sample, then every vector assigned to its nearest centroid by a
+    vectorized pandas UDF (one numpy matmul per Arrow batch — the centroid
+    table broadcasts in the UDF closure).  At scale the returned DataFrame
+    is materialized once (e.g. an icelite table partitioned by ``_list``)
+    and probed many times."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    sample = [
+        [float(x) for x in r[vec_col]]
+        for r in df.select(vec_col).orderBy(F.col(id_col)).limit(sample_rows).collect()
+    ]
+    if not sample:
+        return df.withColumn("_list", F.lit(0)), []
+    cents = _kmeans_lite(sample, n_lists)
+    c = np.asarray(cents, dtype=np.float64)  # (L, d)
+    c_norm2 = (c * c).sum(axis=1)
+
+    @pandas_udf(IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, d)
+        # argmin_l |v|^2 - 2 v.c_l + |c_l|^2  (|v|^2 constant per row)
+        d2 = -2.0 * (v @ c.T) + c_norm2[None, :]
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    return df.withColumn("_list", assign(F.col(vec_col))), cents
+
+
+def ivf_topk_indexed(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a prebuilt IVF index: scan only the n_probe nearest lists."""
+    if not centroids:
+        return cosine_topk(indexed, query, k, id_col, vec_col)
+    qd = [
+        (sum((a - b) ** 2 for a, b in zip(query, c)), i)
+        for i, c in enumerate(centroids)
+    ]
+    probe = [i for _, i in sorted(qd)[:n_probe]]
+    return cosine_topk(
+        indexed.filter(F.col("_list").isin(probe)), query, k, id_col, vec_col
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query: list[float],
@@ -83,28 +143,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     sample_rows: int = 512,
 ) -> DataFrame:
-    """IVF-style ANN: restrict the scan to the n_probe nearest centroids."""
-    sample = [
-        [float(x) for x in r[vec_col]]
-        for r in df.select(vec_col).orderBy(F.col(id_col)).limit(sample_rows).collect()
-    ]
-    if not sample:
-        return cosine_topk(df, query, k, id_col, vec_col)
-    cents = _kmeans_lite(sample, n_lists)
-
-    def dist2_to(c: list[float], vec):
-        return F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    dists = F.array(*[dist2_to(c, vec) for c in cents])
-    assigned = df.withColumn("_list", F.array_position(dists, F.array_min(dists)) - 1)
-
-    qd = [(sum((a - b) ** 2 for a, b in zip(query, c)), i) for i, c in enumerate(cents)]
-    probe = [i for _, i in sorted(qd)[:n_probe]]
-    return cosine_topk(
-        assigned.filter(F.col("_list").isin(probe)), query, k, id_col, vec_col
-    )
+    """IVF ANN, build + probe in one call (see build_ivf_index for the
+    reuse-the-index form)."""
+    indexed, cents = build_ivf_index(df, n_lists, id_col, vec_col, sample_rows)
+    return ivf_topk_indexed(indexed, cents, query, k, n_probe, id_col, vec_col)

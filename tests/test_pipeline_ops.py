@@ -243,3 +243,38 @@ def test_dedup_pipeline_end_to_end(spark):
     got = {r["doc_id"]: r["cluster_size"] for r in dedup_pipeline(df, threshold=0.5).collect()}
     # canonical docs: 1 (cluster {1,3} after exact-dedup removed 2) and 4
     assert got == {1: 2, 4: 1}
+
+
+def test_corpus_filter(spark):
+    from ocr_spark.operators.corpus_filter import corpus_filter
+
+    en = "the cat is on the mat and it is a warm day for everyone in the house today"
+    rows = [
+        (1, en),                                       # kept
+        (2, en),                                       # exact duplicate -> dropped
+        (3, "x"),                                      # too_short
+        (4, "le chat est sur le tapis et il est dans la maison avec le chien aujourd'hui"),  # lang
+        (5, "!!! ??? ... ;;; ,,, !!! ??? ... ;;; ,,, !!! ??? ... ;;; ,,, !!!"),  # punct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept, audit = corpus_filter(df, langs=["en"])
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1]
+    fates = {r["doc_id"]: (r["keep"], r["reason"]) for r in audit.collect()}
+    assert fates[1] == (True, "kept")
+    assert fates[2] == (False, "duplicate")
+    assert fates[3] == (False, "too_short")
+    assert fates[4] == (False, "lang")
+    assert fates[5] == (False, "punct_ratio")
+    assert len(fates) == 5  # every input row accounted for
+
+
+def test_corpus_filter_near_dedup(spark):
+    from ocr_spark.operators.corpus_filter import corpus_filter
+
+    base = "the quick brown fox jumps over the lazy dog and it runs far away into the woods at night"
+    rows = [(1, base), (2, base.replace("night", "dusk")), (3, "a completely different story about the spark catalyst optimizer and its many clever rules")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept, audit = corpus_filter(df, near_dedup=True, near_threshold=0.5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+    fates = {r["doc_id"]: r["reason"] for r in audit.collect()}
+    assert fates[2] == "duplicate"
