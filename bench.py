@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "join_topk_per_group",
     "sessionize",
     "broadcast_join_agg",
+    "corpus_filter_audit",
+    "dedup_pipeline",
 ]
 
 
