@@ -365,6 +365,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """For every 'click' event, the most recent prior-or-equal
+        'purchase' by the same user (backward-inclusive as-of join)."""
+        from ocr_spark.operators.asof import asof_join
+
+        ev = _pq(spark, sf_dir, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("p_id"), F.max("value").alias("p_value"))
+        )
+        j = asof_join(clicks, purchases, on="ts", by="user_id")
+        return j.select(
+            "event_id",
+            "user_id",
+            F.col("p_id_r").alias("purchase_id"),
+            F.round(F.col("p_value_r"), 6).alias("purchase_value"),
+        )
+
     def q_merge_upsert_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         """K3 delete-then-append semantics as a declarative plan: batch2
         replaces batch1 rows on the key, result = b2 ∪ (b1 anti b2)."""
@@ -422,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing": q_agg_pricing,
         "join_topk_per_group": q_join_topk_per_group,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "merge_upsert_effect": q_merge_upsert_effect,
         "broadcast_join_agg": q_broadcast_join_agg,
     }
@@ -654,6 +677,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(MAX(session_no) + 1 AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM s GROUP BY user_id
+        """,
+        "asof_join": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ),
+            purchases AS (
+              SELECT user_id, ts, MAX(event_id) AS p_id, MAX(value) AS p_value
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT c.event_id, c.user_id, p.p_id AS purchase_id,
+                   round(p.p_value, 6) AS purchase_value
+            FROM clicks c ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
         """,
         "merge_upsert_effect": """
             WITH b1 AS (SELECT o_orderkey, o_totalprice FROM orders

@@ -278,3 +278,24 @@ def test_corpus_filter_near_dedup(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
     fates = {r["doc_id"]: r["reason"] for r in audit.collect()}
     assert fates[2] == "duplicate"
+
+
+def test_asof_join_semantics(spark):
+    from ocr_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 10), (2, "u", 20), (3, "u", 5), (4, "v", 50)],
+        "id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("u", 10, 100.0), ("u", 15, 150.0), ("v", 60, 600.0)],
+        "k string, t long, px double",
+    )
+    got = {
+        r["id"]: r["px_r"]
+        for r in asof_join(left, right, on="t", by="k").collect()
+    }
+    assert got[1] == 100.0   # equal timestamp matches (inclusive)
+    assert got[2] == 150.0   # most recent prior
+    assert got[3] is None    # nothing at-or-before
+    assert got[4] is None    # right row is later
