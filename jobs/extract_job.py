@@ -19,7 +19,8 @@ import sys
 
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--input", required=True, help="pages parquet path")
+    p.add_argument("--input", required=True, help="pages parquet path or WARC dir")
+    p.add_argument("--format", choices=["parquet", "warc"], default="parquet")
     p.add_argument("--output", required=True, help="icelite table root")
     p.add_argument("--buckets", type=int, default=16)
     p.add_argument("--group-size", type=int, default=4)
@@ -37,7 +38,12 @@ def main(argv: list[str] | None = None) -> None:
         "extract-job", cores=args.cores
     )
     try:
-        pages = spark.read.parquet(args.input)
+        if args.format == "warc":
+            from ocr_spark.sources.warc import read_warc
+
+            pages = read_warc(spark, args.input).drop("warc_file")
+        else:
+            pages = spark.read.parquet(args.input)
     except Exception as e:  # noqa: BLE001 — operator-friendly CLI error
         print(f"error: cannot read --input {args.input!r}: {type(e).__name__}", file=sys.stderr)
         raise SystemExit(2) from None

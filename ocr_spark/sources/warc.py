@@ -59,7 +59,10 @@ def parse_warc_bytes(payload: bytes, path: str) -> tuple[list[dict], int]:
     """One WARC file's bytes -> (page rows, n_bad_records).  Pure python —
     unit-testable without Spark; wrapped in mapInPandas below."""
     if payload[:2] == b"\x1f\x8b":  # gzip (possibly multi-member)
-        payload = gzip.GzipFile(fileobj=io.BytesIO(payload)).read()
+        try:
+            payload = gzip.GzipFile(fileobj=io.BytesIO(payload)).read()
+        except (OSError, EOFError):
+            return [], 1  # corrupt container counts as one bad record
     rows: list[dict] = []
     bad = 0
     pos = 0
