@@ -28,12 +28,17 @@ def build_session(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    use_submit_master: bool = False,
 ) -> SparkSession:
+    """``use_submit_master=True`` leaves the master unset so a
+    ``spark-submit --master`` launch controls it (cluster mode)."""
     cores = cores or default_parallelism()
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = SparkSession.builder
+    if not use_submit_master:
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        builder.appName(app_name)
         # ---- planner / AQE ------------------------------------------------
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -13,6 +13,7 @@ rm -f dist/ocr_spark.zip
 MASTER="${SPARK_MASTER:-local[${SPARK_GRAFT_CPUS:-32}]}"
 exec spark-submit \
   --master "$MASTER" \
+  --driver-memory "${OCR_SPARK_DRIVER_MEM:-16g}" \
   --py-files dist/ocr_spark.zip \
   --conf spark.sql.shuffle.partitions="${SPARK_GRAFT_CPUS:-32}" \
   --conf spark.sql.adaptive.enabled=true \
