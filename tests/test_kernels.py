@@ -222,3 +222,14 @@ def test_small_tier_attendance_spans_exact(small_dir):
     for d in docs:
         _f, spans, _e = extract_fields_with_spans(d["doc_text"])
         assert sorted(spans) == sorted(golden.get(d["url"], [])), d["url"]
+
+
+def test_word_ngrams_and_hamming():
+    from ocr_spark.functions.textstats import hamming64, simhash64, word_ngrams
+
+    assert word_ngrams("a b c d", 3) == {"a b c", "b c d"}
+    assert word_ngrams("a b", 3) == {"a b"}
+    assert word_ngrams("", 3) == set()
+    a, b = simhash64("x y z"), simhash64("x y z")
+    assert hamming64(a, b) == 0
+    assert hamming64(0b1011, 0b0001) == 2
