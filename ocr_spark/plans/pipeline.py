@@ -53,51 +53,70 @@ class ExtractionPipeline:
         done = {tuple(g) for g in self.out.committed_groups()} if self.out.exists() else set()
         return [g for g in self.bucket_groups() if tuple(g) not in done]
 
+    def _run_group(self, pages: DataFrame, group: list[int]) -> dict:
+        part = pages.filter(bucket_expr("url", self.n_buckets).isin(group))
+        if self.salt:
+            part = salted_repartition(part, "url", self.n_buckets, self.salt)
+        obs = Observation(f"extract-group-{group[0]}")
+        extracted = extract_pages(part).observe(
+            obs,
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
+            F.sum(F.length("text")).alias("text_chars"),
+        )
+        sid = self.out.merge(
+            extracted,
+            metadata={"bucket_group": group, "counters": {}},
+            touched_buckets=group,
+        )
+        got = {k: (int(v) if v is not None else 0) for k, v in obs.get.items()}
+        # the counters only exist once the write ran; amend the manifest
+        # (metadata-only — HEAD untouched, safe under concurrency)
+        self.out.patch_metadata(sid, {"counters": got})
+        return got
+
     def run(
         self,
         pages: DataFrame,
         fail_after_groups: int | None = None,
         force: bool = False,
+        max_concurrent: int = 1,
     ) -> dict:
         """Process all remaining bucket groups; returns lineage summary.
 
         ``fail_after_groups`` simulates a mid-job crash (for the resume
-        property test): raises after that many group commits.
+        property test): raises after that many group commits (serial mode).
         ``force=True`` reprocesses every group (the reference's re-process
         path, C3: the MERGE overwrites prior rows per key, page.tsx:183-187).
+        ``max_concurrent>1`` drives several bucket-group jobs at once —
+        groups touch disjoint buckets, so their merges commit concurrently
+        (icelite validates disjointness); keeps a wide cluster busy through
+        each group's commit tail.
         """
         # (html byte counters intentionally absent: the input is scanned by
         # two branches post-dispatch, so an input-side observe double-counts;
         # bench.py measures MB/sec explicitly instead)
         stats = {"groups": 0, "docs": 0, "errors": 0, "text_chars": 0}
-        groups = self.bucket_groups() if force else self.remaining_groups()
-        for i, group in enumerate(groups):
-            if fail_after_groups is not None and i >= fail_after_groups:
-                raise RuntimeError(f"simulated crash after {fail_after_groups} groups")
-            part = pages.filter(
-                bucket_expr("url", self.n_buckets).isin(group)
-            )
-            if self.salt:
-                part = salted_repartition(part, "url", self.n_buckets, self.salt)
-            obs = Observation(f"extract-group-{group[0]}")
-            extracted = extract_pages(part).observe(
-                obs,
-                F.count(F.lit(1)).alias("docs"),
-                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
-                F.sum(F.length("text")).alias("text_chars"),
-            )
-            self.out.merge(
-                extracted,
-                metadata={"bucket_group": group, "counters": {}},
-                touched_buckets=group,
-            )
-            got = {k: (int(v) if v is not None else 0) for k, v in obs.get.items()}
-            # counters land in the NEXT manifest read; patch the one we wrote
-            head = self.out.snapshot()
-            head.metadata["counters"] = got
-            self.out._commit(head)
+
+        def tally(got: dict) -> None:
             stats["groups"] += 1
             stats["docs"] += got["docs"]
             stats["errors"] += got["errors"]
             stats["text_chars"] += got["text_chars"]
+
+        groups = self.bucket_groups() if force else self.remaining_groups()
+        if max_concurrent <= 1:
+            for i, group in enumerate(groups):
+                if fail_after_groups is not None and i >= fail_after_groups:
+                    raise RuntimeError(
+                        f"simulated crash after {fail_after_groups} groups"
+                    )
+                tally(self._run_group(pages, group))
+            return stats
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_concurrent) as ex:
+            for got in ex.map(lambda g: self._run_group(pages, g), groups):
+                tally(got)
         return stats

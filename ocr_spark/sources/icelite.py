@@ -86,10 +86,18 @@ class Snapshot:
 
 
 class IceliteTable:
+    """Single-process writer model: concurrent commits from one process are
+    serialized on a per-object lock and validated for bucket-disjointness
+    (the Iceberg concurrent-append pattern); cross-process concurrent
+    writers are out of scope (real Iceberg's optimistic catalog CAS)."""
+
     def __init__(self, root: str, key_col: str = "url", n_buckets: int = 16):
         self.root = root
         self.key_col = key_col
         self.n_buckets = n_buckets
+        import threading
+
+        self._lock = threading.Lock()
 
     # ------------------------------------------------------------------ paths
     @property
@@ -141,10 +149,13 @@ class IceliteTable:
         os.replace(head_tmp, self._head_path)
 
     # ----------------------------------------------------------------- write
-    def _write_data(self, df: DataFrame, sid: int) -> tuple[dict, dict]:
-        """Write df bucket-partitioned under data/snap-<sid>; returns
-        (files: bucket->paths, file_rows: path->rows from parquet footers)."""
-        out_dir = os.path.join(self.root, "data", f"snap-{sid}")
+    def _write_data(self, df: DataFrame, token: str) -> tuple[dict, dict]:
+        """Write df bucket-partitioned under data/<token>; returns
+        (files: bucket->paths, file_rows: path->rows from parquet footers).
+        The token is unique per write attempt so concurrent writers never
+        collide on a directory; a failed attempt leaves unreferenced files
+        that expire_snapshots-style GC may remove."""
+        out_dir = os.path.join(self.root, "data", token)
         (
             df.withColumn(BUCKET_COL, bucket_expr(self.key_col, self.n_buckets))
             .repartition(BUCKET_COL)
@@ -161,7 +172,7 @@ class IceliteTable:
             for fn in sorted(os.listdir(os.path.join(out_dir, bdir))):
                 if not fn.endswith(".parquet"):
                     continue
-                rel = os.path.join("data", f"snap-{sid}", bdir, fn)
+                rel = os.path.join("data", token, bdir, fn)
                 files.setdefault(bucket, []).append(rel)
                 file_rows[rel] = pq.read_metadata(os.path.join(self.root, rel)).num_rows
         return files, file_rows
@@ -175,18 +186,28 @@ class IceliteTable:
         )
 
     def append(self, df: DataFrame, metadata: dict | None = None) -> int:
-        """K5/K6 append: new files add to the current file set."""
-        head = self.snapshot()
-        sid = (head.snapshot_id + 1) if head else 0
-        files, file_rows = self._write_data(df, sid)
-        merged_files = {k: list(v) for k, v in (head.files if head else {}).items()}
-        for b, paths in files.items():
-            merged_files.setdefault(b, []).extend(paths)
-        merged_rows = dict(head.file_rows) if head else {}
-        merged_rows.update(file_rows)
-        self._commit(
-            Snapshot(sid, head.snapshot_id if head else None, "append", merged_files, merged_rows, metadata or {})
-        )
+        """K5/K6 append: new files add to the current file set.  Pure
+        addition never conflicts — the manifest is rebuilt from the current
+        head under the commit lock."""
+        files, file_rows = self._write_data(df, f"w-{uuid.uuid4().hex[:12]}")
+        with self._lock:
+            head = self.snapshot()
+            sid = (head.snapshot_id + 1) if head else 0
+            merged_files = {k: list(v) for k, v in (head.files if head else {}).items()}
+            for b, paths in files.items():
+                merged_files.setdefault(b, []).extend(paths)
+            merged_rows = dict(head.file_rows) if head else {}
+            merged_rows.update(file_rows)
+            self._commit(
+                Snapshot(
+                    sid,
+                    head.snapshot_id if head else None,
+                    "append",
+                    merged_files,
+                    merged_rows,
+                    metadata or {},
+                )
+            )
         return sid
 
     def merge(
@@ -201,11 +222,15 @@ class IceliteTable:
 
         Exactly-once visible effect per key: running the same merge twice
         yields the same table (reference save-to-google-sheet.ts:146-240).
+
+        Concurrency: writers touching DISJOINT buckets may run in parallel
+        (manifest rebuilt from the current head at commit time, under the
+        lock); a same-bucket race raises a commit conflict instead of
+        silently losing an update.
         """
         spark = df.sparkSession
-        head = self.snapshot()
-        sid = (head.snapshot_id + 1) if head else 0
-        if head is None or not head.files:
+        start_head = self.snapshot()
+        if start_head is None or not start_head.files:
             return self.append(df, metadata)
 
         incoming = df.withColumn(BUCKET_COL, bucket_expr(self.key_col, self.n_buckets))
@@ -218,7 +243,7 @@ class IceliteTable:
                 str(r[BUCKET_COL])
                 for r in incoming.select(BUCKET_COL).distinct().collect()
             ]
-        old_paths = [p for b in touched for p in head.files.get(b, [])]
+        old_paths = [p for b in touched for p in start_head.files.get(b, [])]
         if old_paths:
             old = spark.read.parquet(*[os.path.join(self.root, p) for p in old_paths])
             keep = old.join(
@@ -229,19 +254,33 @@ class IceliteTable:
             combined = keep.unionByName(incoming.drop(BUCKET_COL))
         else:
             combined = incoming.drop(BUCKET_COL)
-        files, file_rows = self._write_data(combined, sid)
+        files, file_rows = self._write_data(combined, f"w-{uuid.uuid4().hex[:12]}")
 
-        new_files = {
-            b: list(paths) for b, paths in head.files.items() if b not in touched
-        }
-        new_rows = {
-            p: head.file_rows[p] for paths in new_files.values() for p in paths
-        }
-        for b, paths in files.items():
-            new_files.setdefault(b, []).extend(paths)
-            for p in paths:
-                new_rows[p] = file_rows[p]
-        self._commit(Snapshot(sid, head.snapshot_id, "merge", new_files, new_rows, metadata or {}))
+        with self._lock:
+            head = self.snapshot()
+            if head.snapshot_id != start_head.snapshot_id:
+                # someone committed since we started: fine iff our buckets
+                # were untouched (our anti-join read their old state)
+                for b in touched:
+                    if head.files.get(b, []) != start_head.files.get(b, []):
+                        raise RuntimeError(
+                            f"icelite commit conflict: bucket {b} changed "
+                            "under a concurrent merge"
+                        )
+            sid = head.snapshot_id + 1
+            new_files = {
+                b: list(paths) for b, paths in head.files.items() if b not in touched
+            }
+            new_rows = {
+                p: head.file_rows[p] for paths in new_files.values() for p in paths
+            }
+            for b, paths in files.items():
+                new_files.setdefault(b, []).extend(paths)
+                for p in paths:
+                    new_rows[p] = file_rows[p]
+            self._commit(
+                Snapshot(sid, head.snapshot_id, "merge", new_files, new_rows, metadata or {})
+            )
         return sid
 
     # ------------------------------------------------------------------ read
@@ -275,6 +314,17 @@ class IceliteTable:
         some = next(p for ps in head.files.values() for p in ps)
         return spark.read.parquet(os.path.join(self.root, some)).schema
 
+    def patch_metadata(self, sid: int, updates: dict) -> None:
+        """Amend one snapshot's metadata in place (manifest file only — the
+        HEAD pointer is untouched, so this is safe after later commits)."""
+        with self._lock:
+            snap = self.snapshot(sid)
+            snap.metadata.update(updates)
+            tmp = self._snap_path(sid) + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(snap.to_json())
+            os.replace(tmp, self._snap_path(sid))
+
     # ----------------------------------------------------------- maintenance
     def compact(self, spark: SparkSession, max_files_per_bucket: int = 1) -> int | None:
         """Small-file compaction: any bucket with more data files than
@@ -291,7 +341,7 @@ class IceliteTable:
         sid = head.snapshot_id + 1
         paths = [os.path.join(self.root, p) for ps in fat.values() for p in ps]
         rewritten = spark.read.parquet(*paths)
-        files, file_rows = self._write_data(rewritten, sid)
+        files, file_rows = self._write_data(rewritten, f"compact-{uuid.uuid4().hex[:12]}")
         new_files = {b: list(ps) for b, ps in head.files.items() if b not in fat}
         new_rows = {p: head.file_rows[p] for ps in new_files.values() for p in ps}
         for b, ps in files.items():

@@ -72,3 +72,54 @@ def test_lineage_counters_recorded(spark, pages, tmp_path):
     ]
     assert sum(c.get("docs", 0) for c in counters) == pages.count()
     assert all("errors" in c and "text_chars" in c for c in counters)
+
+
+def test_parallel_groups_match_serial(spark, pages, tmp_path):
+    """Concurrent bucket-group jobs (disjoint buckets) produce the same
+    table as serial execution; commits interleave safely."""
+    serial = IceliteTable(str(tmp_path / "s"), key_col="url", n_buckets=8)
+    ExtractionPipeline(serial, n_buckets=8, group_size=2).run(pages)
+    par = IceliteTable(str(tmp_path / "p"), key_col="url", n_buckets=8)
+    stats = ExtractionPipeline(par, n_buckets=8, group_size=2).run(
+        pages, max_concurrent=4
+    )
+    assert stats["groups"] == 4
+    assert _table_content(spark, par) == _table_content(spark, serial)
+    # every group's counters landed despite interleaved commits
+    counters = [
+        s.metadata["counters"]
+        for s in par.snapshots()
+        if "bucket_group" in s.metadata
+    ]
+    assert sum(c["docs"] for c in counters) == pages.count()
+
+
+def test_same_bucket_conflict_detected(spark, tmp_path):
+    """A racing merge on the SAME bucket raises instead of losing data.
+
+    The race is staged by hooking the slow phase (_write_data): while the
+    victim merge is writing, a concurrent merge rewrites the same buckets
+    and commits first; the victim must then fail its commit validation.
+    """
+    t = IceliteTable(str(tmp_path / "c"), key_col="url", n_buckets=2)
+    t.append(spark.createDataFrame([("u1", 1), ("u2", 2)], "url string, v int"))
+    victim = spark.createDataFrame([("u1", 99)], "url string, v int")
+
+    fired = {"done": False}
+    orig_write = t._write_data
+
+    def write_with_interleaved_commit(dfx, token):
+        res = orig_write(dfx, token)
+        if not fired["done"]:
+            fired["done"] = True
+            t.merge(
+                spark.createDataFrame([("u1", 50), ("u2", 51)], "url string, v int")
+            )
+        return res
+
+    t._write_data = write_with_interleaved_commit
+    try:
+        with pytest.raises(RuntimeError, match="commit conflict"):
+            t.merge(victim)
+    finally:
+        t._write_data = orig_write
