@@ -25,6 +25,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--buckets", type=int, default=16)
     p.add_argument("--group-size", type=int, default=4)
     p.add_argument("--salt", type=int, default=0)
+    p.add_argument(
+        "--max-concurrent",
+        type=int,
+        default=1,
+        help="bucket-group jobs to run in parallel (disjoint buckets)",
+    )
     p.add_argument("--cores", type=int, default=None, help="local mode only")
     args = p.parse_args(argv)
 
@@ -51,7 +57,7 @@ def main(argv: list[str] | None = None) -> None:
     pipe = ExtractionPipeline(
         table, n_buckets=args.buckets, group_size=args.group_size, salt=args.salt
     )
-    stats = pipe.run(pages)
+    stats = pipe.run(pages, max_concurrent=args.max_concurrent)
     print(json.dumps({"job": "extract", "output": args.output, **stats}))
     return stats
 
