@@ -233,3 +233,77 @@ def test_word_ngrams_and_hamming():
     a, b = simhash64("x y z"), simhash64("x y z")
     assert hamming64(a, b) == 0
     assert hamming64(0b1011, 0b0001) == 2
+
+
+# ---------------------------------------------------------------------------
+# vectorized hashing kernels vs the scalar spec (bit-identity, hypothesis)
+# ---------------------------------------------------------------------------
+_texty = st.text(
+    alphabet=st.characters(codec="utf-8"), max_size=300
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_texty)
+def test_char_shingle_hashes_match_spec(t):
+    import numpy as np
+
+    from ocr_spark.functions import textstats as K
+
+    fast = {int(v) for v in K.char_shingle_hashes(t, 5)}
+    assert fast == {K.hash64(s) for s in K.char_shingles(t, 5)}
+    [batched] = K.char_shingle_hashes_batch([t], 5)
+    assert np.array_equal(batched, K.char_shingle_hashes(t, 5))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_texty, max_size=8))
+def test_minhash_batch_matches_spec(texts):
+    import numpy as np
+
+    from ocr_spark.functions import textstats as K
+
+    mat = K.minhash_batch(K.char_shingle_hashes_batch(texts), 64)
+    band_mat = K.lsh_band_keys_batch(mat, 16) if len(texts) else None
+    for i, t in enumerate(texts):
+        spec = K.minhash_signature(K.char_shingles(t, 5), 64)
+        assert np.array_equal(mat[i], spec), t[:40]
+        assert [int(x) for x in band_mat[i]] == K.lsh_bands(spec, 16)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_texty)
+def test_simhash_and_fingerprints_match_scalar_loop(t):
+    import numpy as np
+
+    from ocr_spark.functions import textstats as K
+
+    # simhash: scalar reference loop
+    words = t.lower().split()
+    if not words:
+        ref = 0
+    else:
+        hs = np.array([K.hash64(w) for w in words], dtype=np.uint64)
+        bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(words)
+        ref = 0
+        for j in np.nonzero(votes > 0)[0]:
+            ref |= 1 << int(j)
+    assert K.simhash64(t) == ref
+    # winnowing: scalar reference loop
+    tt = " ".join(t.split()).lower()
+    k, w = 7, 4
+    if len(tt) < k:
+        ref_fp = [K.hash64(tt)] if tt else []
+    else:
+        hh = [K.hash64(tt[i : i + k]) for i in range(len(tt) - k + 1)]
+        if len(hh) <= w:
+            ref_fp = [min(hh)]
+        else:
+            ref_fp, prev = [], None
+            for i in range(len(hh) - w + 1):
+                m = min(hh[i : i + w])
+                if m != prev:
+                    ref_fp.append(m)
+                    prev = m
+    assert K.rolling_fingerprints(t) == ref_fp
