@@ -253,7 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ngram_jaccard_pairs(
-            _pq(spark, sf_dir, "documents"), n=3, threshold=0.2
+            _pq(spark, sf_dir, "documents"), n=3, threshold=0.2, max_gram_df=100
         )
 
     def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -458,6 +458,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
+def _lang_id_oracle() -> str:
+    """DuckDB SQL computing detect_lang's stopword-overlap argmax
+    independently: per-language token-overlap scores, then the first
+    strictly-maximal language in sorted order ('und' when every score is 0)
+    — the same tie-break detect_lang's sorted iteration + strict > gives.
+    Generated from the profile table so widening the language set keeps the
+    two sides in lockstep."""
+    from ocr_spark.functions.textstats import _LANG_STOPWORDS
+
+    langs = sorted(_LANG_STOPWORDS)
+    scores = ",\n                   ".join(
+        "len(list_filter(ws, x -> list_contains(["
+        + ", ".join("'" + w + "'" for w in sorted(_LANG_STOPWORDS[lang]))
+        + f"], x))) AS s_{lang}"
+        for lang in langs
+    )
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs)
+    return rf"""
+        WITH w AS (
+          SELECT doc_id, lang,
+                 string_split_regex(lower(text), '\s+') AS ws
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, lang,
+                   {scores}
+          FROM w
+        ),
+        sm AS (SELECT *, {m} AS m FROM s)
+        SELECT doc_id, lang,
+               CASE WHEN m = 0 THEN 'und' {case} END AS lang_pred
+        FROM sm
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     fix = _fix()
     gp = f"{fix}/golden_pages.parquet"
@@ -588,8 +624,15 @@ def oracle_sql() -> dict[str, str]:
                        END) AS gs
               FROM tok
             ),
-            sized AS (SELECT doc_id, len(gs) AS n_grams, gs FROM grams),
-            flat AS (SELECT doc_id, n_grams, unnest(gs) AS gram FROM sized),
+            flat_all AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+            -- gram document-frequency pruning, mirroring max_gram_df=100:
+            -- jaccard is over the discriminative gram universe on BOTH sides
+            hot AS (SELECT gram FROM flat_all GROUP BY gram HAVING COUNT(*) > 100),
+            pruned AS (SELECT * FROM flat_all
+                       WHERE gram NOT IN (SELECT gram FROM hot)),
+            sized AS (SELECT doc_id, COUNT(*) AS n_grams FROM pruned GROUP BY doc_id),
+            flat AS (SELECT p.doc_id, s.n_grams, p.gram
+                     FROM pruned p JOIN sized s USING (doc_id)),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                      a.n_grams AS na, b.n_grams AS nb, COUNT(*) AS n_inter
@@ -602,6 +645,25 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             WHERE n_inter / (na + nb - n_inter) >= 0.2
         """,
+        # embedding near-dup via hyperplane LSH vs brute-force all-pairs:
+        # the planted copies are direction-preserving (x * 1.001), so every
+        # qualifying pair shares an exact LSH bucket and the oracle's
+        # all-pairs scan finds the identical set (verified: 0 incidental
+        # pairs >= 0.999 in the base table at sf0.01)
+        "embedding_dups": """
+            WITH u AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000,
+                     list_transform(embedding::DOUBLE[], x -> x * 1.001)
+              FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM u a JOIN u b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.999
+        """,
+        "lang_id": _lang_id_oracle(),
         "topk_cosine": """
             SELECT vec_id FROM embeddings
             ORDER BY list_cosine_similarity(
@@ -707,7 +769,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
         """,
-        # minhash_pairs / simhash_pairs / embedding_dups / lang_id /
-        # fingerprints / attendance_json: custom deterministic kernels, not
-        # SQL-expressible -> rows-only check; pytest goldens carry them.
+        # minhash_pairs / simhash_pairs / fingerprints / attendance_json:
+        # custom deterministic hash kernels, not SQL-expressible -> rows-only
+        # check; pytest goldens + planted-pair recall tests carry them.
     }

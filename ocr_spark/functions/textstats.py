@@ -356,11 +356,22 @@ def rolling_fingerprints(text: str, k: int = 7, window: int = 4) -> list[int]:
 # language ID (n-gram heuristic over stopword profiles)
 # ---------------------------------------------------------------------------
 _LANG_STOPWORDS: dict[str, frozenset[str]] = {
-    "en": frozenset("the of and to in a is that it for on with as are was be".split()),
-    "fr": frozenset("le la les de des et un une est que pour dans sur avec au du".split()),
-    "de": frozenset("der die das und ist von zu mit den im für auf ein eine".split()),
-    "es": frozenset("el la los las de y un una es que para en con del por".split()),
     "ar": frozenset("في من على أن إلى عن هذا التي الذي مع كان هو هي".split()),
+    "da": frozenset("og i det at en den til er som på de med han af for".split()),
+    "de": frozenset("der die das und ist von zu mit den im für auf ein eine".split()),
+    "en": frozenset("the of and to in a is that it for on with as are was be".split()),
+    "es": frozenset("el la los las de y un una es que para en con del por".split()),
+    "fr": frozenset("le la les de des et un une est que pour dans sur avec au du".split()),
+    "id": frozenset("yang dan di itu dengan untuk tidak ini dari dalam akan pada juga".split()),
+    "it": frozenset("il la di che e un una per non sono con del alla più".split()),
+    "nl": frozenset("de het een van ik te dat die in en zij is niet op".split()),
+    "pl": frozenset("w i na się nie to jest że z do tak jak po co".split()),
+    "pt": frozenset("o a os as de que e do da em um para com não uma".split()),
+    "ro": frozenset("de a în și la cu pe este un o care nu pentru mai".split()),
+    "ru": frozenset("и в не на я что он с как это все она так его но".split()),
+    "sv": frozenset("och i att det som en på är av för med den till om".split()),
+    "tr": frozenset("bir bu ve da ne için ile mi ama o çok daha gibi en".split()),
+    "vi": frozenset("của và các có được cho là những không trong người với một này".split()),
 }
 
 

@@ -299,3 +299,200 @@ def test_asof_join_semantics(spark):
     assert got[2] == 150.0   # most recent prior
     assert got[3] is None    # nothing at-or-before
     assert got[4] is None    # right row is later
+
+
+def test_ngram_jaccard_gram_df_pruning(spark):
+    """A gram shared by more docs than max_gram_df is dropped from the join
+    AND from the per-doc gram universe, so pairs related only through the
+    hot gram disappear while genuinely-near pairs survive."""
+    from ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    hot = "common shared phrase"  # one 3-gram present in every doc
+    rows = [(i, f"{hot} unique{i} filler{i} tail{i}") for i in range(1, 7)]
+    rows += [(10, f"{hot} alpha beta gamma delta"), (11, f"{hot} alpha beta gamma epsilon")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap below the hot gram's df (8 docs) but above everything else
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.1, max_gram_df=5).collect()
+    }
+    # docs 1..6 share ONLY hot-gram-derived grams -> no pairs among them
+    assert all(a > 6 for a, _b in got), got
+    # 10/11 still pair through their distinctive grams
+    assert (10, 11) in got
+
+
+def test_lang_id_broadened_profiles(spark):
+    """The widened 16-language profile set: one representative per language,
+    plus 'und' for out-of-profile text."""
+    samples = {
+        "en": "the cat is on the mat and it is warm",
+        "fr": "le chat est sur le tapis et il est dans la maison",
+        "de": "der hund ist im garten und die katze ist auf dem dach",
+        "es": "el perro es grande y la casa es para los amigos",
+        "it": "il cane è grande e la casa è per non sono qui",
+        "pt": "o cachorro é grande e a casa é do amigo não uma",
+        "nl": "de hond is groot en het huis is van die man niet",
+        "sv": "och hunden är stor på huset som är av en man för",
+        "da": "og hunden er stor i huset som er på en mand til",
+        "pl": "w domu jest pies i kot ale nie jest to tak jak",
+        "ru": "и в доме не было кота но он так думал что это",
+        "tr": "bu ev çok büyük ve o köpek daha iyi gibi ama ne",
+        "id": "yang rumah itu besar dan anjing ini tidak di dalam untuk",
+        "ro": "în casă este un câine și o pisică care nu pentru mai",
+        "vi": "của con chó và các con mèo có được cho là những người",
+        "ar": "في البيت كلب من هذا الذي كان مع أن إلى هو",
+        "und": "zxqv wplk mntr bgfd",
+    }
+    rows = [(i, t) for i, t in enumerate(samples.values())]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in with_lang_id(df).collect()}
+    for i, lang in enumerate(samples):
+        assert got[i] == lang, (lang, got[i])
+
+
+# ---------------------------------------------------------------------------
+# planted-pair recall for the LSH family (VERDICT r1 next-round #7)
+# ---------------------------------------------------------------------------
+def _planted_texts(n_pairs: int, n_noise: int, edits: int, seed: int = 13):
+    """(rows, planted_pairs): pairs of long texts differing in `edits` words
+    (high but sub-1.0 char-shingle Jaccard) plus unrelated noise docs."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"tok{j}" for j in range(400)]
+    rows, pairs = [], []
+    nid = 0
+    for _ in range(n_pairs):
+        words = [rng.choice(vocab) for _ in range(120)]
+        alt = list(words)
+        for _ in range(edits):
+            alt[rng.randrange(len(alt))] = rng.choice(vocab)
+        rows.append((nid, " ".join(words)))
+        rows.append((nid + 1, " ".join(alt)))
+        pairs.append((nid, nid + 1))
+        nid += 2
+    for _ in range(n_noise):
+        rows.append((nid, " ".join(rng.choice(vocab) for _ in range(120))))
+        nid += 1
+    return rows, pairs
+
+
+def test_minhash_planted_pair_recall(spark):
+    """Pairs at Jaccard >= ~0.9 must essentially always survive 16x4
+    banding (theoretical miss prob (1-s^4)^16 ~= 3e-8 at s=0.9); with the
+    fixed seed this is exact, not flaky."""
+    rows, planted = _planted_texts(n_pairs=25, n_noise=50, edits=2)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]) for r in minhash_dup_pairs(df, threshold=0.5).collect()}
+    missed = [p for p in planted if p not in got]
+    assert not missed, f"banding missed {len(missed)}/{len(planted)}: {missed[:5]}"
+
+
+def test_simhash_chunk_index_is_exact(spark):
+    """The 4x16-bit chunk index is a pigeonhole GUARANTEE at Hamming<=3:
+    the operator's pair set must equal brute force over all simhashes."""
+    from ocr_spark.functions.textstats import hamming64, simhash64
+
+    rows, _ = _planted_texts(n_pairs=10, n_noise=30, edits=1, seed=7)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_dup_pairs(df).collect()}
+    sh = {i: simhash64(t) for i, t in rows}
+    ids = sorted(sh)
+    want = {
+        (a, b): hamming64(sh[a], sh[b])
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if hamming64(sh[a], sh[b]) <= 3
+    }
+    assert got == want
+
+
+def test_hyperplane_multiprobe_recall(spark):
+    """Single-probe hyperplane LSH misses pairs straddling a plane;
+    multi-probe must recover (deterministic planes + seeded vectors):
+    recall is monotone in probe radius and >= 0.95 at radius 2 for
+    cosine ~0.99+ pairs (theory: P(<=2 of 12 planes flip) > 0.99)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(60, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noise = rng.normal(size=(60, 16)) * 0.03  # cosine ~0.99-0.997 partners
+    rows = []
+    planted = []
+    for i, (v, nz) in enumerate(zip(base, noise)):
+        w = v + nz
+        w /= np.linalg.norm(w)
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in w]))
+        planted.append((2 * i, 2 * i + 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planted = {
+        p
+        for p in planted
+        if float(np.dot(base[p[0] // 2], rows[p[1]][1])) >= 0.95
+    }
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(df, threshold=0.95, probe_bits=0).collect()
+    }
+    probed1 = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(df, threshold=0.95, probe_bits=1).collect()
+    }
+    probed2 = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(df, threshold=0.95, probe_bits=2).collect()
+    }
+    rec = [len(s & planted) / len(planted) for s in (single, probed1, probed2)]
+    assert probed2 >= probed1 >= single  # probing widens monotonically
+    assert rec[0] <= rec[1] <= rec[2]
+    assert rec[2] >= 0.95, rec
+
+
+def test_multimodal_pil_path_when_available(spark):
+    """When PIL is importable the real decoder is used (tiny valid PNG
+    decodes; garbage bytes land in the per-row error channel, never raise);
+    when PIL is absent the stub boundary is asserted elsewhere."""
+    import pytest as _pytest
+
+    from ocr_spark.operators.multimodal import _have_pil
+
+    if not _have_pil():
+        _pytest.skip("PIL genuinely absent — stub boundary covered by test_multimodal_stub_raises_without_fake")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (5, 3)).save(buf, format="PNG")
+    rows = [
+        Row(media_id=1, kind="image", payload=buf.getvalue(), content_type="image/png"),
+        Row(media_id=2, kind="image", payload=b"garbage", content_type="image/png"),
+    ]
+    out = {
+        r["media_id"]: r["meta"]
+        for r in decode_images(spark.createDataFrame(rows), deterministic_fake=False).collect()
+    }
+    assert (out[1]["width"], out[1]["height"], out[1]["n_channels"]) == (5, 3, 3)
+    assert out[1]["error"] is None
+    assert out[2]["error"].startswith("DECODE_ERROR")
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """est_jaccard (matching minhash positions / 64) is an unbiased
+    estimator of char-5-shingle Jaccard with std <= ~sqrt(s(1-s)/64); with
+    the fixed seed every emitted pair must sit within 0.2 of the exact
+    similarity computed independently in plain Python."""
+    from ocr_spark.functions.textstats import char_shingles
+
+    rows, _planted = _planted_texts(n_pairs=15, n_noise=20, edits=3, seed=23)
+    texts = dict(rows)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_dup_pairs(df, threshold=0.5).collect()
+    assert out, "expected at least the planted near-dup pairs"
+    for r in out:
+        sa, sb = char_shingles(texts[r["id_a"]]), char_shingles(texts[r["id_b"]])
+        exact = len(sa & sb) / len(sa | sb)
+        assert abs(r["est_jaccard"] - exact) <= 0.2, (r["id_a"], r["id_b"], exact, r["est_jaccard"])
