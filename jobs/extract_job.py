@@ -38,7 +38,11 @@ def main(argv: list[str] | None = None) -> None:
 
     from ocr_spark.plans.pipeline import ExtractionPipeline
     from ocr_spark.session import build_session
-    from ocr_spark.sources.icelite import IceliteTable
+    from ocr_spark.sources.icelite import (
+        CommitConflictError,
+        IceliteTable,
+        SchemaMismatchError,
+    )
 
     spark = SparkSession.getActiveSession() or build_session(
         "extract-job", cores=args.cores
@@ -57,7 +61,16 @@ def main(argv: list[str] | None = None) -> None:
     pipe = ExtractionPipeline(
         table, n_buckets=args.buckets, group_size=args.group_size, salt=args.salt
     )
-    stats = pipe.run(pages, max_concurrent=args.max_concurrent)
+    # sink error taxonomy -> distinct exit codes so an orchestrator can
+    # retry conflicts (3) but page a human on schema drift (4)
+    try:
+        stats = pipe.run(pages, max_concurrent=args.max_concurrent)
+    except SchemaMismatchError as e:
+        print(f"error: schema rejected: {e}", file=sys.stderr)
+        raise SystemExit(4) from None
+    except CommitConflictError as e:
+        print(f"error: commit conflict (retryable): {e}", file=sys.stderr)
+        raise SystemExit(3) from None
     print(json.dumps({"job": "extract", "output": args.output, **stats}))
     return stats
 

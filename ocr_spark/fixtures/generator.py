@@ -1,0 +1,741 @@
+"""Deterministic fixture generator (seed 42) — FIXTURES.md made real.
+
+Every fixture table is paired with a **golden** table produced by the same
+generator: the generator knows which blocks are main content, so goldens are
+exact by construction.  This replaces the reference's human-in-the-loop
+check (reference: docs/blueprint.md:7 "Editable Data Display") and its LLM
+nondeterminism with an exact oracle.
+
+The generator and the extraction kernels are written against the same frozen
+spec (ocr_spark/normalize.py, functions/html_extract.py C1-C3,
+functions/layout.py L1-L4) but through *independent code paths*: the
+generator composes documents from known parts; the kernels recover them.
+
+Generator-side separation guarantees (so classification is provably exact):
+  G1. Main paragraphs have >= 15 words and at most one inline link whose
+      text is a single word  -> link_density far below 0.33, n_words >= 10.
+  G2. Boilerplate blocks have either <= 2 words, or >= 50% linked chars
+      (menus, copyright link rows)  -> never MAIN, never fusable (C2 needs
+      link_density < 0.33).
+  G3. Pathological docs (~5%) are drawn from: empty body, boilerplate-only,
+      deeply-nested-but-normal, truncated-inside-footer, malformed markup in
+      boilerplate.  Only the first two yield text="" + expect_error.
+
+Tiers: tiny (~100 pages docs), small (~1000), bench (~20000).
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+import json
+import os
+import random
+import unicodedata
+from datetime import datetime, timedelta, timezone
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# NOTE: deliberately NO imports from ocr_spark.normalize (or any kernel
+# module).  Byte-identity is proven by independent code paths: the rules
+# N3/N4/N5 are reimplemented below from the spec text, so a bug in the
+# kernel's join_blocks/nfc cannot silently propagate into the goldens
+# (VERDICT r1 "What's wrong" #4).
+
+
+def nfc(s: str) -> str:
+    """Rule N4, generator-side (spec: ocr_spark/normalize.py:35-37)."""
+    return unicodedata.normalize("NFC", s)
+
+
+def join_blocks(blocks: list[str]) -> tuple[str, list[tuple[str, int, int]]]:
+    """Rules N3+N5 reimplemented independently of the kernel: block starts
+    via the closed form sum(len(prior blocks)) + i joiners, rather than the
+    kernel's running-position accumulation (ocr_spark/normalize.py:40-54).
+    Both must agree byte-for-byte — enforced by every golden-identity test."""
+    normed = [nfc(b) for b in blocks]
+    lens = [len(b) for b in normed]
+    starts = [sum(lens[:i]) + i for i in range(len(normed))]
+    spans = [
+        (f"block_{i}", s, s + n) for i, (s, n) in enumerate(zip(starts, lens))
+    ]
+    return "\n".join(normed), spans
+
+SEED = 42
+FORMAT_VERSION = 14  # bump to force regeneration everywhere
+
+# bench is sized so the extraction stage runs for seconds, not hundreds of
+# milliseconds, at local[32] — otherwise the ~0.3 s fixed job floor (task
+# scheduling, result collection) dominates and the N-vs-4N scaling
+# comparison measures overhead, not the operator.
+TIERS = {
+    "tiny": {"pages": 100, "glyph_docs": 20, "attendance": 50, "warc_files": 4},
+    "small": {"pages": 1000, "glyph_docs": 200, "attendance": 400, "warc_files": 8},
+    "bench": {"pages": 160000, "glyph_docs": 0, "attendance": 0, "warc_files": 0},
+}
+
+EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
+
+# ---------------------------------------------------------------------------
+# word pools (NFC source-of-truth; generator may emit NFD into the HTML to
+# exercise normalize rule N4)
+# ---------------------------------------------------------------------------
+_WORDS = {
+    "en": (
+        "the quick brown fox jumps over lazy dog while reading ancient books "
+        "about distributed systems and large scale data processing engines "
+        "that transform raw web pages into clean text corpora every single "
+        "day with remarkable efficiency beyond expectation"
+    ).split(),
+    "fr": (
+        "le renard brun saute par dessus le chien paresseux pendant que les "
+        "systèmes répartis transforment des pages web brutes en corpus de "
+        "texte propre chaque journée avec une efficacité réputée au-delà des "
+        "espérances générales et précises déjà établies"
+    ).split(),
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund während "
+        "verteilte systeme rohe webseiten jeden tag mit bemerkenswerter "
+        "effizienz in saubere textkorpora verwandeln und größere datenmengen "
+        "zuverlässig verarbeiten können ohne mühe überhaupt"
+    ).split(),
+    "ar": (
+        "الثعلب البني السريع يقفز فوق الكلب الكسول بينما تحول الأنظمة "
+        "الموزعة صفحات الويب الخام إلى نصوص نظيفة كل يوم بكفاءة ملحوظة "
+        "تفوق التوقعات العامة والدقيقة المعروفة"
+    ).split(),
+}
+_LANGS = ["en", "fr", "de", "ar"]
+_LANG_WEIGHTS = [0.55, 0.2, 0.15, 0.1]
+
+_NAV_WORDS = "Home About News Contact Login Register Products Archive Tags Search Help Careers Blog Forum Docs".split()
+
+
+def _host_pool(rng: random.Random, n: int = 50) -> list[str]:
+    return [f"site{i:02d}.example.{rng.choice(['com', 'org', 'net'])}" for i in range(n)]
+
+
+def _zipf_host(rng: random.Random, hosts: list[str], s: float = 1.2) -> str:
+    # Zipf(s) over ranks 1..n (deterministic inverse-CDF on rng.random()).
+    n = len(hosts)
+    weights = [1.0 / (r**s) for r in range(1, n + 1)]
+    total = sum(weights)
+    x = rng.random() * total
+    acc = 0.0
+    for i, w in enumerate(weights):
+        acc += w
+        if x <= acc:
+            return hosts[i]
+    return hosts[-1]
+
+
+def _sentence(rng: random.Random, lang: str, n_words: int) -> str:
+    pool = _WORDS[lang]
+    words = [rng.choice(pool) for _ in range(n_words)]
+    # sprinkle characters that force entity-encoding in the HTML
+    if rng.random() < 0.3:
+        i = rng.randrange(len(words))
+        words[i] = words[i] + rng.choice(["&co", "<x>", '"q"'])
+    s = " ".join(words)
+    return s[0].upper() + s[1:] + "."
+
+
+def _paragraph(rng: random.Random, lang: str) -> str:
+    n_sent = rng.randint(1, 4)
+    return " ".join(_sentence(rng, lang, rng.randint(15, 40)) for _ in range(n_sent))
+
+
+def _encode_text(rng: random.Random, text: str) -> str:
+    """Paragraph text -> HTML text content: escape specials; sometimes use
+    NFD or numeric charrefs to exercise N1/N4 on the way back."""
+    if rng.random() < 0.25:
+        text = unicodedata.normalize("NFD", text)
+    out = html_mod.escape(text)
+    if rng.random() < 0.2:
+        # also numeric-charref-encode a handful of letters — but never a
+        # character that is already part of an entity like &amp;
+        import re as _re
+
+        entity_pos = set()
+        for m in _re.finditer(r"&[#a-zA-Z0-9]*;", out):
+            entity_pos.update(range(m.start(), m.end()))
+        chars = list(out)
+        for _ in range(min(3, len(chars))):
+            i = rng.randrange(len(chars))
+            if i in entity_pos:
+                continue
+            c = chars[i]
+            if c.isalpha():
+                chars[i] = f"&#{ord(c)};"
+                # indexes into `chars` are stable (we replace in place), and
+                # entity_pos indexes refer to the original string — adding i
+                # keeps later draws from double-encoding this slot
+                entity_pos.add(i)
+        out = "".join(chars)
+    return out
+
+
+def _main_block_html(rng: random.Random, text: str) -> str:
+    """Wrap paragraph text, optionally linking ONE word (guarantee G1)."""
+    enc = _encode_text(rng, text)
+    if rng.random() < 0.3:
+        words = enc.split(" ")
+        if len(words) >= 20:
+            i = rng.randrange(len(words))
+            if "&" not in words[i] and "<" not in words[i]:
+                words[i] = f'<a href="/l{rng.randrange(99)}">{words[i]}</a>'
+                enc = " ".join(words)
+    tag = rng.choice(["p", "p", "p", "div"])
+    return f"<{tag}>{enc}</{tag}>"
+
+
+def _nav_html(rng: random.Random) -> str:
+    items = rng.sample(_NAV_WORDS, rng.randint(4, 8))
+    lis = "".join(f'<li><a href="/{w.lower()}">{w}</a></li>' for w in items)
+    return f"<nav><ul>{lis}</ul></nav>"
+
+
+def _sidebar_html(rng: random.Random) -> str:
+    items = [
+        f'<a href="/t/{rng.randrange(999)}">{rng.choice(_NAV_WORDS)} {rng.randrange(99)}</a>'
+        for _ in range(rng.randint(3, 7))
+    ]
+    return "<aside><div>" + "</div><div>".join(items) + "</div></aside>"
+
+
+def _ad_html(rng: random.Random) -> str:
+    return (
+        f'<div class="ad"><a href="http://ads.example/{rng.randrange(9999)}">'
+        f"{rng.choice(['Buy now', 'Sale', 'Click here', 'Sponsored'])}</a></div>"
+    )
+
+
+def _footer_html(rng: random.Random) -> str:
+    links = " ".join(
+        f'<a href="/{w.lower()}">{w}</a>' for w in rng.sample(_NAV_WORDS, 3)
+    )
+    return f'<footer><div>© 2025 {links}</div></footer>'
+
+
+def _short_boiler(rng: random.Random) -> str:
+    """<=2-word unlinked boilerplate (G2 first case)."""
+    return f"<div>{rng.choice(['Menu', 'Share', 'Top', 'Advertisement', 'Loading'])}</div>"
+
+
+def gen_pages_doc(rng: random.Random, doc_id: int, hosts: list[str]) -> dict:
+    host = _zipf_host(rng, hosts)
+    lang = rng.choices(_LANGS, weights=_LANG_WEIGHTS, k=1)[0]
+    url = f"https://{host}/{rng.choice(['articles', 'posts', 'wiki', 'blog'])}/{doc_id}"
+    patho = rng.random()
+    main_paras: list[str] = []
+    expect_error = False
+
+    head = f"<head><title>{rng.choice(_NAV_WORDS)}</title><style>.x{{color:red}}</style></head>"
+    top = [_nav_html(rng)] + ([_ad_html(rng)] if rng.random() < 0.5 else [])
+    side = [_sidebar_html(rng)] if rng.random() < 0.6 else []
+    bottom = ([_short_boiler(rng)] if rng.random() < 0.4 else []) + [_footer_html(rng)]
+
+    if patho < 0.015:  # empty body
+        body_inner = ""
+        expect_error = True
+    elif patho < 0.03:  # boilerplate-only
+        body_inner = "".join(top + side + bottom)
+        expect_error = True
+    else:
+        n_main = rng.randint(1, 8)
+        main_paras = [nfc(_paragraph(rng, lang)) for _ in range(n_main)]
+        pieces = [_main_block_html(rng, t) for t in main_paras]
+        # ~30% of docs: a bullet list inside the main content.  Items are
+        # 3-8 words — too short to classify as MAIN on their own
+        # (MAIN_MIN_WORDS=10), so recovering them byte-exactly PROVES the
+        # block-fusion rule C2 (adjacent-to-main absorption) fires.
+        if rng.random() < 0.3:
+            items = [
+                nfc(_sentence(rng, lang, rng.randint(3, 8)))
+                for _ in range(rng.randint(2, 5))
+            ]
+            lis = "".join(f"<li>{_encode_text(rng, it)}</li>" for it in items)
+            insert_at = rng.randint(1, len(pieces))  # always after a paragraph
+            pieces.insert(insert_at, f"<ul>{lis}</ul>")
+            main_paras[insert_at:insert_at] = items
+        main_html = "".join(pieces)
+        if patho < 0.04:  # deeply nested but normal
+            depth = rng.randint(20, 50)
+            main_html = "<div>" * depth + main_html + "</div>" * depth
+        if patho < 0.05 and patho >= 0.04:  # malformed markup in boilerplate
+            top.append("<div><span><b>Promo</div>")
+        body_inner = "".join(top + [f"<article>{main_html}</article>"] + side + bottom)
+
+    html_doc = f"<!DOCTYPE html><html>{head}<body>{body_inner}</body></html>"
+    if 0.05 <= patho < 0.06 and main_paras:  # truncated inside the footer
+        cut = html_doc.rfind("<footer>") + len("<footer><div>© 2")
+        html_doc = html_doc[:cut]
+
+    golden_text, spans = join_blocks(main_paras) if main_paras else ("", [])
+    raw_text = None
+    if rng.random() < 0.5:
+        raw_text = " ".join(w for p in main_paras for w in p.split()) or None
+
+    return {
+        "url": url,
+        "warc_ts": EPOCH + timedelta(seconds=doc_id),
+        "html": html_doc.encode("utf-8"),
+        "text": raw_text,
+        "lang": lang,
+        "_golden_text": golden_text,
+        "_spans": spans,
+        "_n_blocks": len(main_paras),
+        "_expect_error": expect_error,
+    }
+
+
+# ---------------------------------------------------------------------------
+# glyph pages (layout branch)
+# ---------------------------------------------------------------------------
+GLYPH_W = 5.5
+GLYPH_ADV = 6.0
+GLYPH_H = 8.0
+LINE_SP = 14.0
+PARA_SP = 24.0
+COL1 = (72.0, 288.0)
+COL2 = (324.0, 540.0)
+FULL = (72.0, 540.0)
+BODY_TOP = 100.0
+BODY_BOTTOM = 700.0
+
+
+def _layout_lines(rng: random.Random, x_range: tuple[float, float], budget_lines: int, lang: str = "en") -> list[str]:
+    """Generate wrapped ASCII text lines that fit the column width."""
+    max_chars = int((x_range[1] - x_range[0]) / GLYPH_ADV)
+    pool = _WORDS["en"]
+    lines = []
+    for _ in range(budget_lines):
+        line_words: list[str] = []
+        length = 0
+        while True:
+            w = rng.choice(pool)
+            add = len(w) if not line_words else len(w) + 1
+            if length + add > max_chars:
+                break
+            line_words.append(w)
+            length += add
+        lines.append(" ".join(line_words) if line_words else "x")
+    return lines
+
+
+def _emit_line_glyphs(line: str, x_start: float, baseline: float, rng: random.Random, out: list) -> None:
+    x = x_start
+    for c in line:
+        if c == " ":
+            x += GLYPH_ADV
+            continue
+        jit = (rng.random() - 0.5)  # ±0.5pt baseline jitter
+        out.append((c, x, baseline + jit - GLYPH_H, x + GLYPH_W, baseline + jit))
+        x += GLYPH_ADV
+
+
+def gen_glyph_doc(rng: random.Random, doc_id: int) -> tuple[list, list]:
+    """Returns (glyph_rows, golden_rows)."""
+    glyph_rows: list[tuple] = []
+    golden_rows: list[tuple] = []
+    n_pages = rng.randint(1, 5)
+    for page in range(1, n_pages + 1):
+        two_col = rng.random() < 0.5
+        glyphs: list[tuple] = []
+        # header + footer (dropped by rule L1)
+        _emit_line_glyphs(f"header {doc_id} {page}", 72.0, 50.0, rng, glyphs)
+        _emit_line_glyphs(f"page {page}", 72.0, 760.0, rng, glyphs)
+        page_lines: list[str] = []
+        if two_col:
+            for col in (COL1, COL2):
+                n_lines = rng.randint(5, 18)
+                col_lines = _layout_lines(rng, col, n_lines)
+                y = BODY_TOP
+                for i, line in enumerate(col_lines):
+                    if rng.random() < 0.12 and i > 0:
+                        y += PARA_SP - LINE_SP  # paragraph gap
+                    _emit_line_glyphs(line, col[0], y, rng, glyphs)
+                    y += LINE_SP
+                page_lines.extend(col_lines)
+        else:
+            n_lines = rng.randint(8, 30)
+            col_lines = _layout_lines(rng, FULL, n_lines)
+            # ~25% of single-column pages: a figure (big vertical gap) with
+            # a short caption line under it, mid-flow — the XY-cut must
+            # keep the caption in reading order across the gap
+            caption_at = (
+                rng.randint(2, max(2, n_lines - 2)) if rng.random() < 0.25 and n_lines > 4 else None
+            )
+            y = BODY_TOP
+            out_lines: list[str] = []
+            for i, line in enumerate(col_lines):
+                if rng.random() < 0.12 and i > 0:
+                    y += PARA_SP - LINE_SP
+                if caption_at is not None and i == caption_at:
+                    y += 40.0  # the figure: empty vertical band
+                    cap = f"figure {rng.randint(1, 9)} caption text"
+                    _emit_line_glyphs(cap, FULL[0], y, rng, glyphs)
+                    out_lines.append(cap)
+                    y += LINE_SP
+                if y > BODY_BOTTOM:
+                    break
+                _emit_line_glyphs(line, FULL[0], y, rng, glyphs)
+                out_lines.append(line)
+                y += LINE_SP
+            page_lines.extend(out_lines)
+        golden_rows.append((doc_id, page, "\n".join(page_lines)))
+        # shuffle emission order: reading order must be RECOVERED
+        order = list(range(len(glyphs)))
+        rng.shuffle(order)
+        for gid, oi in enumerate(order):
+            c, x0, y0, x1, y1 = glyphs[oi]
+            glyph_rows.append((doc_id, page, gid, c, x0, y0, x1, y1))
+    return glyph_rows, golden_rows
+
+
+# ---------------------------------------------------------------------------
+# attendance docs (structured-field branch; reference pdf-data-schema.ts:5-17)
+# ---------------------------------------------------------------------------
+_FIRST = "Amina Youssef Sara Omar Lina Karim Nadia Hassan Leila Mehdi Rania Samir Aya Tarek Salma Walid".split()
+_LAST = "Benali Haddad Mansour Farhat Khalil Saidi Touati Gharbi Amrani Chakir Lamrani Zeroual".split()
+
+_TEMPLATES = [
+    # (classe_lbl, cours_lbl, date_lbl, prof_lbl, nombre_lbl, salle_lbl, seance_lbl, sep, student_sep)
+    ("Classe", "Cours", "Date", "Nom du Professeur", "Nombre des présents", "Salle N°", "Séance", ": ", ". "),
+    ("CLASSE", "COURS", "DATE", "PROFESSEUR", "PRESENTS", "SALLE", "SEANCE", " - ", ") "),
+    ("Classe", "Matière", "Le", "Enseignant", "Effectif présent", "Salle No", "Créneau", ": ", " - "),
+    ("Class", "Module", "Date", "Prof", "Nombre de présents", "Salle N°", "Séance", " : ", ". "),
+    ("classe", "cours", "date", "professeur", "présents", "salle", "séance", ": ", ") "),
+]
+# template 2 uses "PRESENTS"/"SEANCE" (unaccented variants in fields._LABELS)
+
+_COURSES = ["Mathématiques", "Physique", "Chimie", "Informatique", "Français", "Histoire"]
+_SEANCES = ["8h-10h", "10h-12h", "14h-16h", "16h-18h"]
+
+
+def gen_attendance_doc(rng: random.Random, doc_id: int) -> tuple[dict, dict]:
+    t = _TEMPLATES[rng.randrange(len(_TEMPLATES))]
+    classe_lbl, cours_lbl, date_lbl, prof_lbl, nombre_lbl, salle_lbl, seance_lbl, sep, ssep = t
+    url = f"https://sheets.example.org/attendance/{doc_id}"
+
+    classe = f"{rng.choice('ABCD')}{rng.randint(1, 6)}"
+    cours = rng.choice(_COURSES)
+    date = f"{rng.randint(1, 28):02d}/{rng.randint(1, 12):02d}/2025"
+    prof = f"{rng.choice(_FIRST)} {rng.choice(_LAST)}"
+    salle = f"{rng.randint(100, 499)}"
+    seance = rng.choice(_SEANCES)
+    n_students = 0 if rng.random() < 0.10 else rng.randint(1, 12)
+    students = [
+        (str(i + 1), f"{rng.choice(_LAST)} {rng.choice(_FIRST)}") for i in range(n_students)
+    ]
+    declared = n_students
+    if rng.random() < 0.15 and n_students:
+        declared = max(0, n_students - rng.randint(1, 2))  # declared may disagree (A2)
+
+    omit: set[str] = set()
+    if rng.random() < 0.20:
+        omit = set(rng.sample(["classe", "cours", "date", "prof", "salle", "seance", "nombre"],
+                              rng.randint(1, 3)))
+
+    # (line, schema_field, value) — field/value drive the golden span table
+    tagged: list[tuple[str, str | None, str | None]] = [
+        (f"Feuille de présence {doc_id}", None, None),
+        ("", None, None),
+    ]
+    if "classe" not in omit:
+        tagged.append((f"{classe_lbl}{sep}{classe}", "classe", classe))
+    if "cours" not in omit:
+        tagged.append((f"{cours_lbl}{sep}{cours}", "cours", cours))
+    if "date" not in omit:
+        tagged.append((f"{date_lbl}{sep}{date}", "date", date))
+    if "prof" not in omit:
+        tagged.append((f"{prof_lbl}{sep}{prof}", "nom_du_professeur", prof))
+    if "salle" not in omit:
+        tagged.append((f"{salle_lbl}{sep}{salle}", "salle_n", salle))
+    if "seance" not in omit:
+        tagged.append((f"{seance_lbl}{sep}{seance}", "séance", seance))
+    if "nombre" not in omit:
+        tagged.append((f"{nombre_lbl}{sep}{declared}", "nombre_des_présents", str(declared)))
+    tagged.append(("", None, None))
+    for n, name in students:
+        tagged.append((f"{n}{ssep}{name}", None, None))
+    lines = [t[0] for t in tagged]
+    doc_text = "\n".join(lines)
+    spans: list[tuple[str, int, int]] = []
+    offset = 0
+    for line, field, value in tagged:
+        if field is not None:
+            begin = offset + len(line) - len(value)
+            spans.append((field, begin, begin + len(value)))
+        offset += len(line) + 1
+
+    golden = {
+        "url": url,
+        "_spans": spans,
+        "classe": classe if "classe" not in omit else "",
+        "cours": cours if "cours" not in omit else "",
+        "date": date if "date" not in omit else "",
+        "nom_du_professeur": prof if "prof" not in omit else "",
+        "nombre_des_présents": declared if "nombre" not in omit else 0,
+        "salle_n": salle if "salle" not in omit else "",
+        "séance": seance if "seance" not in omit else "",
+        "présences": [{"n": n, "nom_prénom": name} for n, name in students],
+    }
+    return {"url": url, "doc_text": doc_text}, golden
+
+
+# ---------------------------------------------------------------------------
+# parquet writers
+# ---------------------------------------------------------------------------
+_SPAN_PA = pa.list_(
+    pa.struct([("field", pa.string()), ("begin", pa.int64()), ("end", pa.int64())])
+)
+_PRES_PA = pa.list_(pa.struct([("n", pa.string()), ("nom_prénom", pa.string())]))
+
+
+def _write(path: str, table: pa.Table) -> None:
+    # small row groups so Spark's byte-range file splitting yields real
+    # parallelism even on a single fixture file (with the default 128 MB
+    # row group, a 30 MB file is ONE task no matter how many cores)
+    pq.write_table(table, path, compression="zstd", row_group_size=256)
+
+
+def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
+    cfg = TIERS[tier]
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = {"tier": tier, "seed": seed, "format_version": FORMAT_VERSION, **cfg}
+    man_path = os.path.join(out_dir, "_MANIFEST.json")
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            if json.load(f) == manifest:
+                return manifest  # already generated, identical config
+
+    # ---- pages ----------------------------------------------------------
+    rng = random.Random(f"{seed}-pages-{tier}")
+    hosts = _host_pool(random.Random(f"{seed}-hosts"))
+    docs = [gen_pages_doc(rng, i, hosts) for i in range(cfg["pages"])]
+    pages = pa.table(
+        {
+            "url": [d["url"] for d in docs],
+            "warc_ts": pa.array([d["warc_ts"] for d in docs], pa.timestamp("us", tz="UTC")),
+            "html": pa.array([d["html"] for d in docs], pa.binary()),
+            "text": [d["text"] for d in docs],
+            "lang": [d["lang"] for d in docs],
+        }
+    )
+    _write(os.path.join(out_dir, "pages.parquet"), pages)
+    golden = pa.table(
+        {
+            "url": [d["url"] for d in docs],
+            "text": [d["_golden_text"] for d in docs],
+            "spans": pa.array(
+                [
+                    [{"field": f, "begin": b, "end": e} for f, b, e in d["_spans"]]
+                    for d in docs
+                ],
+                _SPAN_PA,
+            ),
+            "n_blocks": pa.array([d["_n_blocks"] for d in docs], pa.int32()),
+            "expect_error": [d["_expect_error"] for d in docs],
+        }
+    )
+    _write(os.path.join(out_dir, "golden_pages.parquet"), golden)
+
+    # ---- glyphs ---------------------------------------------------------
+    if cfg["glyph_docs"]:
+        rng = random.Random(f"{seed}-glyphs-{tier}")
+        grows: list[tuple] = []
+        gold: list[tuple] = []
+        for d in range(cfg["glyph_docs"]):
+            gr, go = gen_glyph_doc(rng, d)
+            grows.extend(gr)
+            gold.extend(go)
+        glyphs = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in grows], pa.int64()),
+                "page": pa.array([r[1] for r in grows], pa.int32()),
+                "glyph_id": pa.array([r[2] for r in grows], pa.int64()),
+                "ch": [r[3] for r in grows],
+                "x0": pa.array([r[4] for r in grows], pa.float64()),
+                "y0": pa.array([r[5] for r in grows], pa.float64()),
+                "x1": pa.array([r[6] for r in grows], pa.float64()),
+                "y1": pa.array([r[7] for r in grows], pa.float64()),
+            }
+        )
+        _write(os.path.join(out_dir, "glyphs.parquet"), glyphs)
+        ggold = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in gold], pa.int64()),
+                "page": pa.array([r[1] for r in gold], pa.int32()),
+                "text": [r[2] for r in gold],
+            }
+        )
+        _write(os.path.join(out_dir, "golden_glyphs.parquet"), ggold)
+
+    # ---- attendance -----------------------------------------------------
+    if cfg["attendance"]:
+        rng = random.Random(f"{seed}-attendance-{tier}")
+        pairs = [gen_attendance_doc(rng, i) for i in range(cfg["attendance"])]
+        adocs = pa.table(
+            {
+                "url": [p[0]["url"] for p in pairs],
+                "doc_text": [p[0]["doc_text"] for p in pairs],
+            }
+        )
+        _write(os.path.join(out_dir, "attendance_docs.parquet"), adocs)
+        g = [p[1] for p in pairs]
+        gold_att = pa.table(
+            {
+                "url": [x["url"] for x in g],
+                "classe": [x["classe"] for x in g],
+                "cours": [x["cours"] for x in g],
+                "date": [x["date"] for x in g],
+                "nom_du_professeur": [x["nom_du_professeur"] for x in g],
+                "nombre_des_présents": pa.array(
+                    [x["nombre_des_présents"] for x in g], pa.int64()
+                ),
+                "salle_n": [x["salle_n"] for x in g],
+                "séance": [x["séance"] for x in g],
+                "présences": pa.array([x["présences"] for x in g], _PRES_PA),
+            }
+        )
+        _write(os.path.join(out_dir, "golden_attendance.parquet"), gold_att)
+        srows = [(x["url"], f, b, e) for x in g for f, b, e in x["_spans"]]
+        _write(
+            os.path.join(out_dir, "golden_attendance_spans.parquet"),
+            pa.table(
+                {
+                    "url": [r[0] for r in srows],
+                    "span_field": [r[1] for r in srows],
+                    "span_begin": pa.array([r[2] for r in srows], pa.int64()),
+                    "span_end": pa.array([r[3] for r in srows], pa.int64()),
+                }
+            ),
+        )
+        # explode_outer expectation: one row per student; empty list -> one
+        # row with "" fields (reference save-to-google-sheet.ts:199-215)
+        rows = []
+        for x in g:
+            if x["présences"]:
+                for s in x["présences"]:
+                    rows.append((x["url"], s["n"], s["nom_prénom"]))
+            else:
+                rows.append((x["url"], "", ""))
+        gold_rows = pa.table(
+            {
+                "url": [r[0] for r in rows],
+                "n": [r[1] for r in rows],
+                "nom_prénom": [r[2] for r in rows],
+            }
+        )
+        _write(os.path.join(out_dir, "golden_attendance_rows.parquet"), gold_rows)
+
+    # ---- attendance docs rendered as glyph pages (engine-A chain:
+    #      layout OCR -> reading order -> field structuring) ---------------
+    if cfg["attendance"]:
+        rng = random.Random(f"{seed}-attglyph-{tier}")
+        ag_rows: list[tuple] = []
+        ag_map: list[tuple] = []
+        for did, (doc, _g) in enumerate(pairs):
+            ag_map.append((did, doc["url"]))
+            # long sheets flow onto a second page (14 lines per page) —
+            # the engine-A chain must reassemble pages in order
+            doc_lines = doc["doc_text"].splitlines()
+            page_chunks = [doc_lines[i : i + 14] for i in range(0, len(doc_lines), 14)]
+            gid = 0
+            for page_no, chunk in enumerate(page_chunks, start=1):
+                glyphs: list[tuple] = []
+                y = 100.0
+                for line in chunk:
+                    if line.strip():
+                        _emit_line_glyphs(line, 72.0, y, rng, glyphs)
+                    y += 12.0
+                order = list(range(len(glyphs)))
+                rng.shuffle(order)
+                for oi in order:
+                    c, x0, y0, x1, y1 = glyphs[oi]
+                    ag_rows.append((did, page_no, gid, c, x0, y0, x1, y1))
+                    gid += 1
+        ag = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in ag_rows], pa.int64()),
+                "page": pa.array([r[1] for r in ag_rows], pa.int32()),
+                "glyph_id": pa.array([r[2] for r in ag_rows], pa.int64()),
+                "ch": [r[3] for r in ag_rows],
+                "x0": pa.array([r[4] for r in ag_rows], pa.float64()),
+                "y0": pa.array([r[5] for r in ag_rows], pa.float64()),
+                "x1": pa.array([r[6] for r in ag_rows], pa.float64()),
+                "y1": pa.array([r[7] for r in ag_rows], pa.float64()),
+            }
+        )
+        _write(os.path.join(out_dir, "attendance_glyphs.parquet"), ag)
+        _write(
+            os.path.join(out_dir, "attendance_glyph_docs.parquet"),
+            pa.table(
+                {
+                    "doc_id": pa.array([m[0] for m in ag_map], pa.int64()),
+                    "url": [m[1] for m in ag_map],
+                }
+            ),
+        )
+
+    # ---- WARC container files (same docs, Common-Crawl container form) --
+    if cfg.get("warc_files"):
+        warc_dir = os.path.join(out_dir, "warc")
+        os.makedirs(warc_dir, exist_ok=True)
+        rng = random.Random(f"{seed}-warc-{tier}")
+        shards: list[list[dict]] = [[] for _ in range(cfg["warc_files"])]
+        for i, d in enumerate(docs):
+            shards[i % cfg["warc_files"]].append(d)
+        for si, shard in enumerate(shards):
+            buf = bytearray()
+            buf += _warc_record(
+                b"warcinfo", None, None, b"software: ocr-spark-fixture-gen\r\n"
+            )
+            for d in shard:
+                ts = d["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ").encode()
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+                    + d["html"]
+                )
+                if rng.random() < 0.3:  # request records must be skipped
+                    buf += _warc_record(
+                        b"request", d["url"].encode(), ts, b"GET / HTTP/1.1\r\n\r\n"
+                    )
+                buf += _warc_record(b"response", d["url"].encode(), ts, http)
+            if rng.random() < 0.5:  # a little garbage between records
+                buf += b"\r\nGARBAGE-NOT-A-RECORD\r\n\r\nWARC/"[:20]
+            import gzip as _gzip
+
+            with open(os.path.join(warc_dir, f"part-{si:03d}.warc.gz"), "wb") as f:
+                f.write(_gzip.compress(bytes(buf)))
+
+    with open(man_path, "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def _warc_record(
+    wtype: bytes, uri: bytes | None, ts: bytes | None, body: bytes
+) -> bytes:
+    head = [b"WARC/1.0", b"WARC-Type: " + wtype]
+    if uri:
+        head.append(b"WARC-Target-URI: " + uri)
+    if ts:
+        head.append(b"WARC-Date: " + ts)
+    head.append(b"Content-Length: " + str(len(body)).encode())
+    return b"\r\n".join(head) + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+
+def fixtures_root() -> str:
+    return os.environ.get(
+        "OCR_SPARK_FIXTURES", os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "fixtures")
+    )
+
+
+def ensure_fixtures(tier: str = "small", root: str | None = None) -> str:
+    """Idempotently generate a tier; returns its directory."""
+    root = root or fixtures_root()
+    out_dir = os.path.join(root, tier)
+    generate_tier(tier, out_dir)
+    return out_dir

@@ -51,15 +51,55 @@ def _fake_decode(payload: bytes | None) -> dict:
     }
 
 
+def _pil_decode(payload: bytes | None) -> dict:
+    """Real decode via PIL when the library is importable (per-row errors
+    captured in the struct, never raised — E6 semantics)."""
+    import io
+
+    from PIL import Image
+
+    if payload is None or len(payload) == 0:
+        return {"width": 0, "height": 0, "n_channels": 0, "sha256": "", "error": "EMPTY_INPUT"}
+    h = hashlib.sha256(payload).hexdigest()
+    try:
+        with Image.open(io.BytesIO(payload)) as img:
+            return {
+                "width": int(img.width),
+                "height": int(img.height),
+                "n_channels": len(img.getbands()),
+                "sha256": h,
+                "error": None,
+            }
+    except Exception as e:  # noqa: BLE001 — per-row error channel
+        return {
+            "width": 0,
+            "height": 0,
+            "n_channels": 0,
+            "sha256": h,
+            "error": f"DECODE_ERROR: {type(e).__name__}",
+        }
+
+
+def _have_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def decode_images(
     media: DataFrame, deterministic_fake: bool = False, batch_schema: str | None = None
 ) -> DataFrame:
     """image rows -> decoded metadata via mapInPandas (Arrow batches carry
     the binary payload; no base64, reference S3 eliminated).
 
-    Real decoding (PIL/libvips) is NOT available in this container — with
-    ``deterministic_fake=False`` the stage raises NotImplementedError at
-    execution time, documenting exactly where the codec plugs in.
+    Decoder resolution: ``deterministic_fake=True`` always uses the seeded
+    fake; otherwise PIL is used when importable (optional dependency —
+    try-imported on the EXECUTOR, where decoding runs), and when it is
+    genuinely absent the stage raises NotImplementedError at execution
+    time, documenting exactly where the codec plugs in.
     """
     out_schema = T.StructType(
         [
@@ -69,16 +109,20 @@ def decode_images(
     )
 
     def fn(batches):
-        for pdf in batches:
-            if not deterministic_fake:
+        decoder = _fake_decode
+        if not deterministic_fake:
+            if not _have_pil():
                 raise NotImplementedError(
-                    "image decoding requires PIL/libvips — not in this container; "
-                    "pass deterministic_fake=True to exercise the pipeline"
+                    "image decoding requires PIL/libvips — not in this "
+                    "container; pass deterministic_fake=True to exercise "
+                    "the pipeline"
                 )
+            decoder = _pil_decode
+        for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
-                    "meta": [_fake_decode(p) for p in pdf["payload"]],
+                    "meta": [decoder(p) for p in pdf["payload"]],
                 }
             )
 

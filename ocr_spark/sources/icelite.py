@@ -45,6 +45,24 @@ from pyspark.sql import functions as F
 BUCKET_COL = "__bucket"
 
 
+class IceliteError(RuntimeError):
+    """Base of the sink error taxonomy (reference maps failures to specific
+    user-facing messages, save-to-mongodb route.ts:135-148; the CLI maps
+    these to distinct exit codes)."""
+
+
+class CommitConflictError(IceliteError):
+    """A concurrent writer rewrote one of this commit's buckets: the
+    anti-join read stale state, so committing would silently lose their
+    update.  Retry the merge from the new head."""
+
+
+class SchemaMismatchError(IceliteError):
+    """K6 validated insert: the incoming batch's columns/types don't match
+    the table schema — rejected BEFORE any data file lands (the reference
+    zod-safeParses every insert and 400s mismatches, route.ts:106-114)."""
+
+
 def bucket_expr(key_col: str, n_buckets: int):
     """Deterministic url-hash bucket: non-negative xxhash64 mod N (JVM-side)."""
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
@@ -103,6 +121,10 @@ class IceliteTable:
     @property
     def _head_path(self) -> str:
         return os.path.join(self.root, "_HEAD")
+
+    @property
+    def _schema_path(self) -> str:
+        return os.path.join(self.root, "_schema.json")
 
     def _snap_path(self, sid: int) -> str:
         return os.path.join(self.root, "_snapshots", f"{sid}.json")
@@ -177,6 +199,42 @@ class IceliteTable:
                 file_rows[rel] = pq.read_metadata(os.path.join(self.root, rel)).num_rows
         return files, file_rows
 
+    # ---------------------------------------------------------------- schema
+    def table_schema(self) -> dict[str, str] | None:
+        """The frozen column->type map recorded at first write, or None."""
+        if not os.path.exists(self._schema_path):
+            return None
+        with open(self._schema_path) as f:
+            return json.load(f)
+
+    def _validate_or_record_schema(self, df: DataFrame) -> None:
+        """K6 validated insert: the first data write freezes the table
+        schema (names + types, nullability/order-insensitive); every later
+        append/merge batch is validated against it and rejected with a
+        typed error BEFORE any file is written."""
+        incoming = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        stored = self.table_schema()
+        if stored is None:
+            os.makedirs(self.root, exist_ok=True)
+            tmp = self._schema_path + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(incoming, f, indent=1, sort_keys=True)
+            os.replace(tmp, self._schema_path)
+            return
+        if incoming != stored:
+            missing = sorted(set(stored) - set(incoming))
+            extra = sorted(set(incoming) - set(stored))
+            retyped = sorted(
+                f"{c}: {stored[c]} -> {incoming[c]}"
+                for c in set(stored) & set(incoming)
+                if stored[c] != incoming[c]
+            )
+            raise SchemaMismatchError(
+                f"icelite schema mismatch for table {self.root}: "
+                f"missing columns {missing}, unexpected columns {extra}, "
+                f"type changes {retyped}"
+            )
+
     def create_empty(self, metadata: dict | None = None) -> None:
         if self.exists():
             return
@@ -188,7 +246,9 @@ class IceliteTable:
     def append(self, df: DataFrame, metadata: dict | None = None) -> int:
         """K5/K6 append: new files add to the current file set.  Pure
         addition never conflicts — the manifest is rebuilt from the current
-        head under the commit lock."""
+        head under the commit lock.  The batch schema is validated against
+        the table schema first (SchemaMismatchError, no files written)."""
+        self._validate_or_record_schema(df)
         files, file_rows = self._write_data(df, f"w-{uuid.uuid4().hex[:12]}")
         with self._lock:
             head = self.snapshot()
@@ -232,6 +292,7 @@ class IceliteTable:
         start_head = self.snapshot()
         if start_head is None or not start_head.files:
             return self.append(df, metadata)
+        self._validate_or_record_schema(df)
 
         incoming = df.withColumn(BUCKET_COL, bucket_expr(self.key_col, self.n_buckets))
         if touched_buckets is not None:
@@ -263,7 +324,7 @@ class IceliteTable:
                 # were untouched (our anti-join read their old state)
                 for b in touched:
                     if head.files.get(b, []) != start_head.files.get(b, []):
-                        raise RuntimeError(
+                        raise CommitConflictError(
                             f"icelite commit conflict: bucket {b} changed "
                             "under a concurrent merge"
                         )
@@ -389,6 +450,44 @@ class IceliteTable:
                 os.remove(self._snap_path(s.snapshot_id))
             except FileNotFoundError:
                 pass
+        return sorted(doomed)
+
+    def remove_orphan_files(self, older_than_s: float = 0.0) -> list[str]:
+        """Delete data files referenced by NO snapshot in the retained chain
+        — the leftovers of write attempts that crashed before their commit
+        (Iceberg's ``remove_orphan_files``; expire_snapshots can't reach
+        them because they were never referenced).  ``older_than_s`` guards
+        against deleting files of an IN-FLIGHT write (Iceberg defaults to
+        3 days); 0 is only safe when no writer is running.  Returns the
+        deleted paths (relative)."""
+        import time
+
+        live: set[str] = set()
+        for s in self.snapshots():
+            for ps in s.files.values():
+                live.update(ps)
+        data_root = os.path.join(self.root, "data")
+        doomed: list[str] = []
+        cutoff = time.time() - older_than_s
+        for dirpath, _dirs, files in os.walk(data_root):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue  # _SUCCESS/.crc sidecars live with their dir
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if rel in live:
+                    continue
+                if os.path.getmtime(full) > cutoff:
+                    continue
+                os.remove(full)
+                doomed.append(rel)
+        # prune now-empty write directories (rmdir refuses non-empty ones)
+        for dirpath, _dirs, _files in os.walk(data_root, topdown=False):
+            if dirpath != data_root:
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
         return sorted(doomed)
 
     # --------------------------------------------------------------- lineage

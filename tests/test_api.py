@@ -73,3 +73,33 @@ def test_export_json(spark, recs, tmp_path):
         "classe", "cours", "date", "nom_du_professeur",
         "nombre_des_présents", "salle_n", "séance", "présences",
     }
+
+
+def test_extract_job_exit_codes(spark, tiny_dir, monkeypatch):
+    """The job CLI maps the sink error taxonomy to distinct exit codes:
+    2 = unreadable input, 3 = retryable commit conflict, 4 = schema drift."""
+    from jobs.extract_job import main
+    from ocr_spark.plans import pipeline as P
+    from ocr_spark.sources.icelite import CommitConflictError, SchemaMismatchError
+
+    inp = f"{tiny_dir}/pages.parquet"
+
+    with pytest.raises(SystemExit) as e:
+        main(["--input", "/nonexistent/nope.parquet", "--output", "/tmp/never"])
+    assert e.value.code == 2
+
+    def boom_conflict(self, pages, max_concurrent=1):
+        raise CommitConflictError("bucket 3 changed under a concurrent merge")
+
+    monkeypatch.setattr(P.ExtractionPipeline, "run", boom_conflict)
+    with pytest.raises(SystemExit) as e:
+        main(["--input", inp, "--output", "/tmp/never"])
+    assert e.value.code == 3
+
+    def boom_schema(self, pages, max_concurrent=1):
+        raise SchemaMismatchError("missing columns ['text']")
+
+    monkeypatch.setattr(P.ExtractionPipeline, "run", boom_schema)
+    with pytest.raises(SystemExit) as e:
+        main(["--input", inp, "--output", "/tmp/never"])
+    assert e.value.code == 4

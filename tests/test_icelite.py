@@ -141,3 +141,61 @@ def test_merge_empty_batch_is_safe(spark, tmp_table):
     tmp_table.merge(_df(spark, []).limit(0))
     after = sorted((r["url"], r["v"]) for r in tmp_table.read(spark).collect())
     assert before == after
+
+
+def test_append_schema_validated(spark, tmp_table):
+    """K6: the first write freezes the schema; a mismatched append is
+    rejected with a typed error BEFORE any file lands."""
+    from ocr_spark.sources.icelite import SchemaMismatchError
+
+    tmp_table.append(_df(spark, [("u1", 1)]))
+    head_before = tmp_table.head_id()
+    bad = spark.createDataFrame([("u2", "oops")], "url string, v string")
+    with pytest.raises(SchemaMismatchError, match="type changes.*v"):
+        tmp_table.append(bad)
+    worse = spark.createDataFrame([("u2",)], "url string")
+    with pytest.raises(SchemaMismatchError, match="missing columns.*v"):
+        tmp_table.merge(worse)
+    # nothing landed: head unchanged, content unchanged
+    assert tmp_table.head_id() == head_before
+    assert {r["url"] for r in tmp_table.read(spark).collect()} == {"u1"}
+    # column ORDER is not part of the contract (unionByName semantics)
+    reordered = spark.createDataFrame([(7, "u9")], "v int, url string")
+    tmp_table.append(reordered)
+
+
+def test_remove_orphan_files(spark, tmp_table, tmp_path):
+    """Files from a write attempt that crashed before commit are invisible
+    to expire_snapshots (never referenced); remove_orphan_files reaps them
+    without touching committed data."""
+    import os
+
+    tmp_table.append(_df(spark, [("u1", 1), ("u2", 2)]))
+    # simulate a crashed _write_data: files on disk, no commit
+    crashed = os.path.join(tmp_table.root, "data", "w-crashed", "__bucket=0")
+    os.makedirs(crashed)
+    orphan = os.path.join(crashed, "part-00000.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    assert tmp_table.expire_snapshots(keep_last=1) == []  # can't see it
+    deleted = tmp_table.remove_orphan_files()
+    assert deleted == [os.path.join("data", "w-crashed", "__bucket=0", "part-00000.parquet")]
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(os.path.dirname(crashed))  # empty dirs pruned
+    # committed data intact
+    assert {r["url"] for r in tmp_table.read(spark).collect()} == {"u1", "u2"}
+    # age guard: a "fresh" orphan survives when older_than_s is large
+    os.makedirs(crashed)
+    with open(orphan, "wb") as f:
+        f.write(b"x")
+    assert tmp_table.remove_orphan_files(older_than_s=3600) == []
+    assert os.path.exists(orphan)
+
+
+def test_commit_conflict_is_typed(spark, tmp_table):
+    """Same-bucket concurrent merges raise CommitConflictError (a
+    RuntimeError subclass, so legacy handlers still catch it)."""
+    from ocr_spark.sources.icelite import CommitConflictError, IceliteError
+
+    assert issubclass(CommitConflictError, RuntimeError)
+    assert issubclass(CommitConflictError, IceliteError)
