@@ -66,7 +66,7 @@ ERR_TOO_LARGE = "DOC_TOO_LARGE"
 ERR_PARSE = "PARSE_ERROR"
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     text: str
     n_words: int
@@ -229,11 +229,13 @@ def tokenize_blocks(html: str) -> list[Block]:
     data, flush = st.data, st.flush  # bound-method hoist (hot loop)
     pos = 0
     for m in _TOKEN_RE.finditer(html):
-        start = m.start()
+        start, end = m.span()
         if start > pos:
             data(html[pos:start])
-        pos = m.end()
-        slash, name, _attrs, selfc = m.group(1, 2, 3, 4)
+        pos = end
+        # group 3 (attrs) is never read — not materializing it skips one
+        # substring allocation per tag
+        slash, name, selfc = m.group(1, 2, 4)
         if name is None:
             continue  # comment / doctype / CDATA / processing instruction
         if not name.islower():
@@ -269,14 +271,13 @@ def tokenize_blocks(html: str) -> list[Block]:
 
 def classify_main(blocks: list[Block]) -> list[bool]:
     """Frozen rules C1+C2."""
-    is_main = [
-        b.link_density < MAIN_LINK_DENSITY_MAX and b.n_words >= MAIN_MIN_WORDS
+    # one link-density computation per block (shared by C1 and the C2 gate)
+    low_ld = [
+        (b.anchor_chars / b.raw_chars if b.raw_chars else 0.0) < MAIN_LINK_DENSITY_MAX
         for b in blocks
     ]
-    fusable = [
-        b.link_density < MAIN_LINK_DENSITY_MAX and b.n_words >= FUSE_MIN_WORDS
-        for b in blocks
-    ]
+    is_main = [ld and b.n_words >= MAIN_MIN_WORDS for ld, b in zip(low_ld, blocks)]
+    fusable = [ld and b.n_words >= FUSE_MIN_WORDS for ld, b in zip(low_ld, blocks)]
     changed = True
     while changed:
         changed = False

@@ -329,6 +329,46 @@ def simhash64(text: str) -> int:
     return int(((np.uint64(1) << _BIT_SHIFTS)[votes > 0]).sum(dtype=np.uint64))
 
 
+def simhash_batch(texts: list[str]) -> np.ndarray:
+    """simhash64 for a whole Arrow batch: every doc's words are hashed in
+    ONE _hash_ranges call over a packed byte buffer, bit votes are summed
+    per doc with ``np.add.reduceat`` — no per-doc numpy round trips.
+    Bit-identical to simhash64 per row (asserted in tests)."""
+    encs: list[bytes] = []
+    starts_l: list[np.ndarray] = []
+    ends_l: list[np.ndarray] = []
+    counts: list[int] = []
+    base = 0
+    for text in texts:
+        t = " ".join(text.lower().split())
+        if not t:
+            counts.append(0)
+            continue
+        enc = t.encode("utf-8")
+        encs.append(enc)
+        b, ws, we = _word_ranges(t)
+        starts_l.append(ws + base)
+        ends_l.append(we + base)
+        counts.append(len(ws))
+        base += len(enc)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if not starts_l:
+        return out
+    buf = np.frombuffer(b"".join(encs), dtype=np.uint8)
+    hashes = _hash_ranges(buf, np.concatenate(starts_l), np.concatenate(ends_l))
+    bits = ((hashes[:, None] >> _BIT_SHIFTS) & np.uint64(1)).astype(np.int64)
+    nz = np.array([i for i, c in enumerate(counts) if c], dtype=np.int64)
+    lens = np.array([c for c in counts if c], dtype=np.int64)
+    seg_starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+    sums = np.add.reduceat(bits, seg_starts, axis=0)  # (n_nonempty, 64)
+    votes = sums * 2 - lens[:, None]
+    packed = ((votes > 0).astype(np.uint64) * (np.uint64(1) << _BIT_SHIFTS)).sum(
+        axis=1, dtype=np.uint64
+    )
+    out[nz] = packed
+    return out
+
+
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & _MASK64).count("1")
 

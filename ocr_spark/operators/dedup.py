@@ -271,6 +271,11 @@ def near_dup_clusters(
     ids:   (doc_id)            pairs: (id_a, id_b) with id_a < id_b
     out:   (doc_id, cluster_id) — cluster_id = min doc_id of the component;
            singletons are their own cluster.
+
+    Only nodes that appear in a pair participate in the iteration — at web
+    scale the near-dup graph is a tiny fraction of the corpus, so each
+    round's shuffle is sized by the DUP set, not the document count;
+    singletons get their own id via one final left join.
     """
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
@@ -278,7 +283,9 @@ def near_dup_clusters(
         .distinct()
         .cache()
     )
-    labels = ids.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
+    labels = edges.select(F.col("u").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
     for _ in range(max_iters):
         # candidate label via one hop: min over neighbors' labels
         neighbor_min = (
@@ -305,7 +312,9 @@ def near_dup_clusters(
         labels = updated.localCheckpoint(eager=True)  # truncate the lineage
         if changed == 0:
             break
-    return labels
+    return ids.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
 
 
 def dedup_pipeline(

@@ -86,7 +86,10 @@ def _to_i64(h: int) -> int:
 
 @pandas_udf(T.LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
-    return text.fillna("").map(lambda t: _to_i64(K.simhash64(t))).astype("int64")
+    import numpy as np
+
+    sh = K.simhash_batch(list(text.fillna("")))  # one kernel call per batch
+    return pd.Series(sh.view(np.int64), index=text.index)
 
 
 @pandas_udf(T.ArrayType(T.LongType()))

@@ -307,3 +307,13 @@ def test_simhash_and_fingerprints_match_scalar_loop(t):
                     ref_fp.append(m)
                     prev = m
     assert K.rolling_fingerprints(t) == ref_fp
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(_texty, max_size=6))
+def test_simhash_batch_matches_per_doc(texts):
+    from ocr_spark.functions import textstats as K
+
+    sb = K.simhash_batch(texts)
+    for i, t in enumerate(texts):
+        assert int(sb[i]) == K.simhash64(t)
