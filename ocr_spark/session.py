@@ -52,11 +52,16 @@ def build_session(
         # ---- determinism for the DuckDB oracle ---------------------------
         .config("spark.sql.session.timeZone", "UTC")
         # ---- scan splitting sized for sandbox fixtures -------------------
-        # (~MB-scale files must still fan out across all cores; a production
-        #  100 TB table has >128 MB files and keeps the 128m default)
+        # 4 MB: the 158 MB bench tier fans out to ~40 tasks (2-3 waves at
+        # local[16], balanced vs the long-tailed doc sizes) and the 30 MB
+        # small tier still spreads across 8 cores.  The earlier 1 MB
+        # setting over-split the bench input into ~316 tiny tasks whose
+        # scheduling + Arrow-channel overhead cost ~40% throughput at
+        # local[16].  A production 100 TB table has >128 MB files and
+        # keeps the 128m default.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("OCR_SPARK_MAX_PARTITION_BYTES", "1048576"),
+            os.environ.get("OCR_SPARK_MAX_PARTITION_BYTES", "4194304"),
         )
         .config("spark.sql.files.openCostInBytes", "65536")
         # ---- stragglers: extraction time varies ~100x by doc size --------

@@ -20,5 +20,5 @@ exec spark-submit \
   --conf spark.sql.execution.arrow.pyspark.enabled=true \
   --conf spark.sql.execution.arrow.maxRecordsPerBatch=512 \
   --conf spark.sql.session.timeZone=UTC \
-  --conf spark.sql.files.maxPartitionBytes="${OCR_SPARK_MAX_PARTITION_BYTES:-1048576}" \
+  --conf spark.sql.files.maxPartitionBytes="${OCR_SPARK_MAX_PARTITION_BYTES:-4194304}" \
   jobs/extract_job.py "$@"
