@@ -300,16 +300,17 @@ def near_dup_clusters(
                 F.least(
                     F.col("cluster_id"), F.coalesce("nbr_label", F.col("cluster_id"))
                 ).alias("cluster_id"),
+                (F.coalesce("nbr_label", F.col("cluster_id")) < F.col("cluster_id")).alias(
+                    "_changed"
+                ),
             )
         )
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = updated.localCheckpoint(eager=True)  # truncate the lineage
+        # checkpoint FIRST (one job materializes the round), then read the
+        # convergence flag back from the checkpointed data — the old shape
+        # recomputed the propagation join a second time just to count
+        updated = updated.localCheckpoint(eager=True)  # truncate the lineage
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
         if changed == 0:
             break
     return ids.join(labels, "doc_id", "left").select(
