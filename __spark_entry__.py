@@ -530,6 +530,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, span_field, span_begin, span_end
             FROM '{fix}/golden_attendance_spans.parquet'
         """,
+        # E7 record->JSON: Spark's to_json and DuckDB's to_json both emit
+        # compact UTF-8 JSON preserving struct field order — with the
+        # struct packed in the record schema's order the strings are
+        # byte-equal (verified 400/400 before wiring)
+        "attendance_json": f"""
+            SELECT url, to_json(struct_pack(
+                classe := classe, cours := cours, "date" := date,
+                nom_du_professeur := nom_du_professeur,
+                "nombre_des_présents" := "nombre_des_présents",
+                salle_n := salle_n, "séance" := "séance",
+                "présences" := "présences"
+            )) AS json_output
+            FROM '{ga}'
+        """,
         "wet_normalize": rf"""
             SELECT url,
                    trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS text
@@ -769,7 +783,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
         """,
-        # minhash_pairs / simhash_pairs / fingerprints / attendance_json:
+        # minhash_pairs / simhash_pairs / fingerprints / dedup_pipeline:
         # custom deterministic hash kernels, not SQL-expressible -> rows-only
         # check; pytest goldens + planted-pair recall tests carry them.
     }

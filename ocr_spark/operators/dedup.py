@@ -373,17 +373,31 @@ def embedding_dup_pairs(
     on the (vid, bucket) key relation ONLY — 13x at radius 1, 79x at radius
     2 for 12 planes, each row 16 bytes; vectors are never replicated, they
     are fetched per deduped surviving pair."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
     dim_df = df.select(F.size(vec_col).alias("d")).limit(1).collect()
     dim = dim_df[0]["d"] if dim_df else 0
-    planes = _hyperplanes(n_planes, dim)
+    planes_np = np.array(_hyperplanes(n_planes, dim))  # (p, d)
+
+    @pandas_udf(T.StringType())
+    def sig_udf(emb: pd.Series) -> pd.Series:
+        # one (batch x dim) @ (dim x p) matmul per Arrow batch replaces
+        # n_planes interpreted higher-order-function folds per row; sign
+        # pattern -> bucket string
+        if len(emb) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+        bits = (mat @ planes_np.T) >= 0  # (n, p)
+        codes = np.where(bits, ord("1"), ord("0")).astype(np.uint8)
+        return pd.Series(
+            [bytes(row).decode("ascii") for row in codes], index=emb.index
+        )
+
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    sig = F.concat(
-        *[
-            F.when(_dot(vec, F.array(*[F.lit(w) for w in p])) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for p in planes
-        ]
-    )
-    sd = df.select(F.col(id_col).alias("vid"), vec.alias("v"), sig.alias("bucket")).cache()
+    sd = df.select(
+        F.col(id_col).alias("vid"), vec.alias("v"), sig_udf(F.col(vec_col)).alias("bucket")
+    ).cache()
     keys = sd.select("vid", "bucket")
     if probe_bits >= 1:
         def _flip(col, i):

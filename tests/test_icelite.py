@@ -199,3 +199,46 @@ def test_commit_conflict_is_typed(spark, tmp_table):
 
     assert issubclass(CommitConflictError, RuntimeError)
     assert issubclass(CommitConflictError, IceliteError)
+
+
+def test_maintenance_cli(spark, tmp_table, capsys):
+    """The maintenance job chains compact -> expire -> orphan GC and
+    reports one JSON line; each action is idempotent."""
+    import json
+    import os
+
+    from jobs.maintenance import main
+
+    for i in range(3):
+        tmp_table.append(_df(spark, [(f"u{i}a", i), (f"u{i}b", 10 + i)]))
+    # plant a stale orphan from a "crashed" write
+    crashed = os.path.join(tmp_table.root, "data", "w-dead", "__bucket=1")
+    os.makedirs(crashed)
+    orphan = os.path.join(crashed, "part-0.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"x")
+    os.utime(orphan, (1, 1))  # ancient mtime -> past any age guard
+
+    stats = main(
+        [
+            "--table", tmp_table.root, "--buckets", "4",
+            "--compact", "--expire-keep", "1", "--gc-orphans",
+        ]
+    )
+    assert stats["compacted_snapshot"] is not None
+    assert stats["expired_files"] > 0
+    assert stats["orphans_removed"] == 1
+    assert stats["snapshots"] == 1
+    assert stats["rows"] == 6
+    assert not os.path.exists(orphan)
+    # content survives maintenance
+    assert tmp_table.read(spark).count() == 6
+    # idempotent second pass: nothing left to do
+    stats2 = main(["--table", tmp_table.root, "--buckets", "4", "--compact",
+                   "--expire-keep", "1", "--gc-orphans"])
+    assert stats2["compacted_snapshot"] is None
+    assert stats2["expired_files"] == 0 and stats2["orphans_removed"] == 0
+    # missing table -> exit code 2
+    with pytest.raises(SystemExit) as e:
+        main(["--table", "/tmp/definitely-missing-tbl"])
+    assert e.value.code == 2
