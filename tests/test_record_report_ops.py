@@ -126,3 +126,84 @@ def test_stateful_host_stats_stream(spark, tiny_dir, tmp_path):
     pages = spark.read.parquet(f"{tiny_dir}/pages.parquet")
     want_err = extract_pages(pages).filter(F.col("error").isNotNull()).count()
     assert got["e"] == want_err
+
+
+def test_streaming_watermark_drops_late_events(spark, tmp_path):
+    """Watermark semantics end-to-end: an event older than
+    (max event time - delay) arriving in a LATER micro-batch is dropped
+    from its (already watermarked-past) window; on-time events count."""
+    import pandas as pd
+
+    in_dir = tmp_path / "wm_in"
+    in_dir.mkdir()
+    schema = "ts timestamp, k string, v long"
+    # four single-file micro-batches: on-time events, then two batches that
+    # push the watermark past the first window's end, then a very late
+    # straggler.  (The late-row filter applies the watermark with one batch
+    # of lag relative to eviction — hence TWO advancing batches before the
+    # straggler; verified empirically on Spark 4.1.)
+    batches = [
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(["2025-01-01 10:10:00", "2025-01-01 10:40:00"]),
+                "k": ["a", "a"],
+                "v": [1, 1],
+            }
+        ),
+        pd.DataFrame(
+            {"ts": pd.to_datetime(["2025-01-01 12:00:00"]), "k": ["a"], "v": [1]}
+        ),
+        pd.DataFrame(
+            {"ts": pd.to_datetime(["2025-01-01 13:00:00"]), "k": ["a"], "v": [1]}
+        ),
+        # 2.5 h late, watermark now 12:50 >> window end 11:00 -> dropped
+        pd.DataFrame(
+            {"ts": pd.to_datetime(["2025-01-01 10:20:00"]), "k": ["a"], "v": [100]}
+        ),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    arrow_schema = pa.schema(
+        [("ts", pa.timestamp("us")), ("k", pa.string()), ("v", pa.int64())]
+    )
+    import os as _os
+    import time as _time
+
+    base = _time.time()
+    for i, b in enumerate(batches):
+        path = in_dir / f"b{i}.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(b, schema=arrow_schema, preserve_index=False), path
+        )
+        # FileStreamSource orders files by modification time: make the
+        # arrival order unambiguous
+        _os.utime(path, (base + 10 * i, base + 10 * i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "k")
+        .agg(F.sum("v").alias("total"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_drop")
+        .option("checkpointLocation", str(tmp_path / "wm_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["window"]["start"].hour, r["k"]): r["total"]
+        for r in spark.sql("SELECT * FROM wm_drop").collect()
+    }
+    # the 10:00 window closed with ONLY the on-time events (2+1=... b1 has
+    # 10:10, 10:40 in [10:00,11:00) and 11:00 in [11:00,12:00)); the late
+    # v=100 event never appears
+    assert rows.get((10, "a")) == 2, rows
+    assert all(v < 100 for v in rows.values()), rows
