@@ -84,6 +84,35 @@ def run_extraction_bench(spark, bench_dir: str) -> dict:
     }
 
 
+def run_layout_bench(spark, bench_dir: str) -> dict:
+    """Engine-A branch: glyph boxes -> XY-cut reading-order page text
+    (the north star's parallel PDF/scan segmentation path)."""
+    from ocr_spark.operators.layout_ops import glyphs_to_page_text
+
+    glyphs = spark.read.parquet(f"{bench_dir}/glyphs.parquet")
+    n_glyphs = glyphs.count()
+
+    def run() -> tuple[float, int]:
+        t0 = time.time()
+        out = (
+            glyphs_to_page_text(glyphs)
+            .agg(F.count(F.lit(1)).alias("pages"), F.sum(F.length("text")).alias("chars"))
+            .collect()[0]
+        )
+        return time.time() - t0, int(out["pages"])
+
+    cold, n_pages = run()
+    warm = min(run()[0] for _ in range(2))
+    return {
+        "layout_sec": round(warm, 3),
+        "cold_sec": round(cold, 3),
+        "glyphs": int(n_glyphs),
+        "pages": n_pages,
+        "pages_per_sec": round(n_pages / warm, 1),
+        "glyphs_per_sec": round(n_glyphs / warm, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = default_parallelism()
@@ -91,8 +120,12 @@ def main() -> None:
     spark = build_session("ocr-spark-bench", cores=cores)
 
     ext = run_extraction_bench(spark, bench_dir)
+    lay = run_layout_bench(spark, bench_dir)
 
-    qtimes: dict[str, float] = {"extract_bench": ext["extract_sec"]}
+    qtimes: dict[str, float] = {
+        "extract_bench": ext["extract_sec"],
+        "layout_bench": lay["layout_sec"],
+    }
     qs = entry_mod.queries()
     # warm the pandas-eval Python workers too (arrow_udf and pandas udfs use
     # separate worker pools; executors are long-lived on a real cluster).
@@ -131,6 +164,7 @@ def main() -> None:
                 "queries": qtimes,
                 "sf": float(sf) if sf else sf_dir,
                 "extract": ext,
+                "layout": lay,
                 "cores": cores,
             }
         )

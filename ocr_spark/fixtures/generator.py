@@ -62,7 +62,7 @@ def join_blocks(blocks: list[str]) -> tuple[str, list[tuple[str, int, int]]]:
     return "\n".join(normed), spans
 
 SEED = 42
-FORMAT_VERSION = 14  # bump to force regeneration everywhere
+FORMAT_VERSION = 15  # bump to force regeneration everywhere (v15: width-aware parquet row groups)
 
 # bench is sized so the extraction stage runs for seconds, not hundreds of
 # milliseconds, at local[32] — otherwise the ~0.3 s fixed job floor (task
@@ -71,7 +71,7 @@ FORMAT_VERSION = 14  # bump to force regeneration everywhere
 TIERS = {
     "tiny": {"pages": 100, "glyph_docs": 20, "attendance": 50, "warc_files": 4},
     "small": {"pages": 1000, "glyph_docs": 200, "attendance": 400, "warc_files": 8},
-    "bench": {"pages": 160000, "glyph_docs": 0, "attendance": 0, "warc_files": 0},
+    "bench": {"pages": 160000, "glyph_docs": 8000, "attendance": 0, "warc_files": 0},
 }
 
 EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
@@ -494,10 +494,16 @@ _PRES_PA = pa.list_(pa.struct([("n", pa.string()), ("nom_prénom", pa.string())]
 
 
 def _write(path: str, table: pa.Table) -> None:
-    # small row groups so Spark's byte-range file splitting yields real
-    # parallelism even on a single fixture file (with the default 128 MB
-    # row group, a 30 MB file is ONE task no matter how many cores)
-    pq.write_table(table, path, compression="zstd", row_group_size=256)
+    # Row groups sized by ROW WIDTH, targeting ~1 MB of raw data per group:
+    # wide rows (html pages, ~3 KB/row) get small groups so Spark's
+    # byte-range file splitting yields real parallelism even on a single
+    # fixture file, while skinny rows (glyph boxes, ~40 B/row) get large
+    # groups — 256-row groups on a 23M-row glyph table meant ~90k groups
+    # whose per-group footer/page overhead made the SCAN alone take ~2 min.
+    n = table.num_rows
+    avg_row = max(1, table.nbytes // max(n, 1))
+    rows_per_group = min(max(256, (1 << 20) // avg_row), 1 << 17)
+    pq.write_table(table, path, compression="zstd", row_group_size=rows_per_group)
 
 
 def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:

@@ -51,44 +51,52 @@ def _largest_gap(lo: np.ndarray, hi: np.ndarray) -> tuple[float, float]:
     """Largest uncovered interval in the 1-D projection of [lo, hi) boxes.
 
     Returns (gap_size, gap_mid); (0.0, 0.0) when fully covered.
-    Deterministic: first-largest wins on ties (sorted scan order).
-    """
+    Deterministic: first-largest wins on ties (argmax of the vectorized gap
+    array == the sorted scan that only replaces on strictly-greater —
+    identical arithmetic, identical tie-break)."""
     order = np.argsort(lo, kind="stable")
-    lo, hi = lo[order], hi[order]
-    best_gap, best_mid = 0.0, 0.0
-    cover_end = hi[0]
-    for i in range(1, len(lo)):
-        if lo[i] > cover_end:
-            gap = float(lo[i] - cover_end)
-            if gap > best_gap:
-                best_gap, best_mid = gap, float((lo[i] + cover_end) / 2.0)
-        cover_end = max(cover_end, hi[i])
-    return best_gap, best_mid
+    lo_s = lo[order]
+    cover = np.maximum.accumulate(hi[order])
+    if lo_s.size < 2:
+        return 0.0, 0.0
+    gaps = lo_s[1:] - cover[:-1]
+    i = int(np.argmax(gaps))
+    g = float(gaps[i])
+    if g <= 0.0:
+        return 0.0, 0.0
+    return g, float((lo_s[i + 1] + cover[i]) / 2.0)
 
 
 def _lines_text(ch: np.ndarray, x0: np.ndarray, x1: np.ndarray, y1: np.ndarray) -> str:
-    """Rule L3+L4 on one leaf region."""
+    """Rule L3+L4 on one leaf region.  The sequential running-mean cluster
+    loop runs over plain Python floats (numpy scalar indexing in a tight
+    loop is ~10x slower); per-line ordering and spacing stay vectorized."""
     order = np.argsort(y1, kind="stable")
+    y1_sorted = y1[order].tolist()
+    idx_sorted = order.tolist()
     lines: list[list[int]] = []
     baseline_sum = 0.0
-    for idx in order:
-        if lines and abs(y1[idx] - baseline_sum / len(lines[-1])) <= LINE_CLUSTER_EPS:
-            lines[-1].append(int(idx))
-            baseline_sum += float(y1[idx])
+    for idx, y in zip(idx_sorted, y1_sorted):
+        if lines and abs(y - baseline_sum / len(lines[-1])) <= LINE_CLUSTER_EPS:
+            lines[-1].append(idx)
+            baseline_sum += y
         else:
-            lines.append([int(idx)])
-            baseline_sum = float(y1[idx])
+            lines.append([idx])
+            baseline_sum = y
     out_lines: list[str] = []
     for members in lines:
         marr = np.array(members)
         m_order = marr[np.lexsort((marr, x0[marr]))]
-        parts: list[str] = []
-        prev_x1 = None
-        for g in m_order:
-            if prev_x1 is not None and x0[g] - prev_x1 > SPACE_GAP:
+        chs = ch[m_order].tolist()
+        x0s = x0[m_order]
+        x1s = x1[m_order]
+        # one space exactly where the inter-glyph gap exceeds SPACE_GAP
+        space_after = (x0s[1:] - x1s[:-1]) > SPACE_GAP
+        parts: list[str] = [chs[0]]
+        for c, sp in zip(chs[1:], space_after.tolist()):
+            if sp:
                 parts.append(" ")
-            parts.append(ch[g])
-            prev_x1 = x1[g]
+            parts.append(c)
         out_lines.append("".join(parts))
     return "\n".join(out_lines)
 
@@ -139,4 +147,82 @@ def page_text(
     if len(body) == 0:
         return ""
     leaves = _xycut(ch, x0, y0, x1, y1, body)
+    return "\n".join(t for t in leaves if t)
+
+
+# ---------------------------------------------------------------------------
+# codepoint fast path — identical rules L1-L4, glyphs carried as Unicode
+# code points so a 23M-glyph shuffle never materializes 23M Python strings
+# (the Spark operator packs per-page arrays JVM-side; see layout_ops)
+# ---------------------------------------------------------------------------
+def _lines_text_codes(cp: np.ndarray, x0: np.ndarray, x1: np.ndarray, y1: np.ndarray) -> str:
+    """Rule L3+L4 on one leaf region over code points; string assembly is a
+    single utf-32 decode per line (no per-glyph Python strings)."""
+    order = np.argsort(y1, kind="stable")
+    y1_sorted = y1[order].tolist()
+    idx_sorted = order.tolist()
+    lines: list[list[int]] = []
+    baseline_sum = 0.0
+    for idx, y in zip(idx_sorted, y1_sorted):
+        if lines and abs(y - baseline_sum / len(lines[-1])) <= LINE_CLUSTER_EPS:
+            lines[-1].append(idx)
+            baseline_sum += y
+        else:
+            lines.append([idx])
+            baseline_sum = y
+    out_lines: list[str] = []
+    for members in lines:
+        marr = np.array(members)
+        m_order = marr[np.lexsort((marr, x0[marr]))]
+        codes = cp[m_order].astype(np.uint32)
+        x0s = x0[m_order]
+        x1s = x1[m_order]
+        gap_idx = np.nonzero((x0s[1:] - x1s[:-1]) > SPACE_GAP)[0] + 1
+        if gap_idx.size:
+            codes = np.insert(codes, gap_idx, np.uint32(0x20))
+        out_lines.append(codes.astype("<u4").tobytes().decode("utf-32-le"))
+    return "\n".join(out_lines)
+
+
+def _xycut_codes(cp, x0, y0, x1, y1, idx) -> list[str]:
+    """Rule L2 over code points (same recursion as _xycut)."""
+    if len(idx) == 0:
+        return []
+    xgap, xmid = _largest_gap(x0[idx], x1[idx])
+    ygap, ymid = _largest_gap(y0[idx], y1[idx])
+    cut_x = xgap >= X_GAP_MIN and xgap >= ygap
+    cut_y = not cut_x and ygap >= Y_GAP_MIN
+    if cut_x:
+        mid = (x0[idx] + x1[idx]) / 2.0
+        left, right = idx[mid < xmid], idx[mid >= xmid]
+        if len(left) and len(right):
+            return _xycut_codes(cp, x0, y0, x1, y1, left) + _xycut_codes(cp, x0, y0, x1, y1, right)
+    if cut_y:
+        mid = (y0[idx] + y1[idx]) / 2.0
+        top, bottom = idx[mid < ymid], idx[mid >= ymid]
+        if len(top) and len(bottom):
+            return _xycut_codes(cp, x0, y0, x1, y1, top) + _xycut_codes(cp, x0, y0, x1, y1, bottom)
+    return [_lines_text_codes(cp[idx], x0[idx], x1[idx], y1[idx])]
+
+
+def page_text_codes(
+    cp: np.ndarray,
+    x0: np.ndarray,
+    y0: np.ndarray,
+    x1: np.ndarray,
+    y1: np.ndarray,
+) -> str:
+    """page_text over single-code-point glyphs (the glyph schema's ``ch`` is
+    one character; multi-code-point glyphs must use ``page_text``).  Output
+    is identical to page_text for such input — asserted in tests."""
+    cp = np.asarray(cp, dtype=np.int64)
+    x0 = np.asarray(x0, dtype=np.float64)
+    y0 = np.asarray(y0, dtype=np.float64)
+    x1 = np.asarray(x1, dtype=np.float64)
+    y1 = np.asarray(y1, dtype=np.float64)
+    yc = (y0 + y1) / 2.0
+    body = np.nonzero((yc >= HEADER_Y) & (yc < FOOTER_Y))[0]
+    if len(body) == 0:
+        return ""
+    leaves = _xycut_codes(cp, x0, y0, x1, y1, body)
     return "\n".join(t for t in leaves if t)

@@ -183,3 +183,22 @@ def test_doc_too_large_through_spark(spark):
     r = extract_pages(df).first()
     assert r["error"].startswith("DOC_TOO_LARGE:")
     assert r["text"] == "" and r["spans"] == [] and r["n_blocks"] == 0
+
+
+def test_layout_packed_equals_grouped(spark, tiny_dir):
+    """The packed codepoint fast path must emit exactly the pages of the
+    per-group string-spec path (and both match the golden elsewhere)."""
+    from ocr_spark.operators.layout_ops import (
+        glyphs_to_page_text,
+        glyphs_to_page_text_grouped,
+    )
+
+    g = spark.read.parquet(f"{tiny_dir}/glyphs.parquet")
+    fast = {
+        (r["doc_id"], r["page"]): r["text"] for r in glyphs_to_page_text(g).collect()
+    }
+    spec = {
+        (r["doc_id"], r["page"]): r["text"]
+        for r in glyphs_to_page_text_grouped(g).collect()
+    }
+    assert fast == spec
