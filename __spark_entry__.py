@@ -236,6 +236,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return dedup_pipeline(_pq(spark, sf_dir, "documents"), threshold=0.8)
 
+    def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Crawl-url identity: deterministically uglify the fixture urls
+        (tracking params, fragments, shouted scheme, trailing slash), then
+        canonicalize (urlnorm rules U1-U5); the oracle mirrors both steps
+        in SQL independently."""
+        from ocr_spark.operators.urlnorm import canonical_url
+
+        pages = spark.read.parquet(f"{fix}/pages.parquet").select("url")
+        messy = F.when(
+            F.length("url") % 2 == 0,
+            F.concat(
+                F.regexp_replace("url", r"^https://", "HTTPS://"),
+                F.lit("/?utm_source=a&z=9&b=1#sec"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.regexp_replace("url", r"^https://", "HTTPS://"),
+                F.lit("?fbclid=xyz&m=2"),
+            )
+        )
+        return pages.select(
+            "url", canonical_url(messy).alias("canonical_url")
+        )
+
     def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ocr_spark.sources.warc import read_warc
 
@@ -429,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_keep": q_dedup_keep,
         "dedup_pipeline": q_dedup_pipeline,
+        "url_canonicalize": q_url_canonicalize,
         "warc_roundtrip": q_warc_roundtrip,
         "corpus_filter_audit": q_corpus_filter_audit,
         "ngram_jaccard": q_ngram_jaccard,
@@ -589,6 +614,48 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN (SELECT MIN(doc_id) AS doc_id FROM documents
                   GROUP BY md5(text)) k USING (doc_id)
+        """,
+        # urlnorm U1-U5, uglify + canonicalize mirrored in SQL end to end
+        "url_canonicalize": rf"""
+            WITH m AS (
+              SELECT url,
+                CASE WHEN length(url) % 2 = 0
+                     THEN regexp_replace(url, '^https://', 'HTTPS://')
+                          || '/?utm_source=a&z=9&b=1#sec'
+                     ELSE regexp_replace(url, '^https://', 'HTTPS://')
+                          || '?fbclid=xyz&m=2'
+                END AS u0
+              FROM '{pages}'
+            ),
+            s AS (SELECT url, regexp_replace(u0, '#.*$', '') AS u FROM m),
+            parts AS (
+              SELECT url,
+                lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rest,
+                regexp_extract(u, '\?([^#]*)', 1) AS query
+              FROM s
+            ),
+            canon AS (
+              SELECT url, scheme,
+                CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                     WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                     ELSE hostport END AS host,
+                CASE WHEN rest = '' THEN '/'
+                     ELSE regexp_replace(rest, '(.)/$', '\1') END AS path,
+                list_sort(list_filter(string_split(query, '&'),
+                    p -> p != ''
+                         AND NOT p LIKE 'utm\_%' ESCAPE '\'
+                         AND NOT regexp_extract(p, '^([^=]*)', 1)
+                                 IN ('gclid', 'fbclid', 'msclkid'))) AS kept
+              FROM parts
+            )
+            SELECT url,
+                   scheme || '://' || host || path ||
+                   CASE WHEN len(kept) > 0
+                        THEN '?' || array_to_string(kept, '&') ELSE '' END
+                   AS canonical_url
+            FROM canon
         """,
         "warc_roundtrip": f"""
             SELECT url, CAST(octet_length(html) AS BIGINT) AS html_len

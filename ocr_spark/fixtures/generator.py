@@ -21,7 +21,7 @@ Generator-side separation guarantees (so classification is provably exact):
       deeply-nested-but-normal, truncated-inside-footer, malformed markup in
       boilerplate.  Only the first two yield text="" + expect_error.
 
-Tiers: tiny (~100 pages docs), small (~1000), bench (~20000).
+Tiers: tiny (~100 pages docs), small (~1000), bench (160k pages + 8k glyph docs).
 """
 
 from __future__ import annotations

@@ -496,3 +496,26 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
         sa, sb = char_shingles(texts[r["id_a"]]), char_shingles(texts[r["id_b"]])
         exact = len(sa & sb) / len(sa | sb)
         assert abs(r["est_jaccard"] - exact) <= 0.2, (r["id_a"], r["id_b"], exact, r["est_jaccard"])
+
+
+def test_canonical_url_rules(spark):
+    """urlnorm frozen rules U1-U5 on handpicked edges."""
+    from ocr_spark.operators.urlnorm import with_canonical_url
+
+    cases = {
+        "HTTPS://Site01.Example.COM:443/a/b/?utm_source=x&z=1&a=2#frag":
+            "https://site01.example.com/a/b?a=2&z=1",
+        "http://h.example.com:80/": "http://h.example.com/",
+        "https://h.example.com": "https://h.example.com/",
+        "https://h.example.com/p/?gclid=abc": "https://h.example.com/p",
+        "https://h.example.com/p?b=2&a=1&utm_campaign=c&fbclid=z":
+            "https://h.example.com/p?a=1&b=2",
+        "https://h.example.com/p/q/": "https://h.example.com/p/q",
+        "https://h.example.com/?": "https://h.example.com/",
+        "https://h.example.com/x#?notquery=1": "https://h.example.com/x",
+        # :8443 is NOT a default port; utmost is NOT a utm_ param
+        "https://h.example.com:8443/p?utmost=1": "https://h.example.com:8443/p?utmost=1",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["canonical_url"] for r in with_canonical_url(df).collect()}
+    assert got == cases, {k: (v, cases[k]) for k, v in got.items() if v != cases[k]}
