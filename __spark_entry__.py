@@ -672,6 +672,22 @@ def oracle_sql() -> dict[str, str]:
                            / greatest(CASE WHEN trim(text) = '' THEN 0
                                       ELSE len(string_split_regex(trim(text), '\s+')) END, 1), 6)
                           > 14.0 THEN 'word_len'
+                     WHEN len(regexp_extract_all(text, '#|\.\.\.|…'))
+                           / greatest(CASE WHEN trim(text) = '' THEN 0
+                                      ELSE len(string_split_regex(trim(text), '\s+')) END, 1)
+                          > 0.1 THEN 'symbol_ratio'
+                     WHEN len(list_filter(string_split(text, chr(10)),
+                              l -> regexp_matches(ltrim(l), '^[•\-\*]')))
+                           / greatest(len(string_split(text, chr(10))), 1)
+                          > 0.9 THEN 'bullet_lines'
+                     WHEN len(list_filter(string_split(text, chr(10)),
+                              l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))
+                           / greatest(len(string_split(text, chr(10))), 1)
+                          > 0.3 THEN 'ellipsis_lines'
+                     WHEN len(list_intersect(
+                              list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+                              ['the','be','to','of','and','that','have','with','a','in']))
+                          < 0 THEN 'gopher_stopwords'
                 END AS rule_fail,
                 md5(text) AS h
               FROM documents

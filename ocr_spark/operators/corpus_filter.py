@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ocr_spark.operators.dedup import exact_dedup, minhash_dup_pairs, near_dup_clusters
-from ocr_spark.operators.textstats_ops import with_lang_id, with_quality
+from ocr_spark.operators.textstats_ops import (
+    with_gopher_quality,
+    with_lang_id,
+    with_quality,
+)
 
 DEFAULT_RULES = {
     "min_chars": 50,
@@ -28,6 +32,12 @@ DEFAULT_RULES = {
     "max_punct_ratio": 0.2,
     "min_stopword_ratio": 0.0,
     "max_mean_word_len": 14.0,
+    # Gopher-style heuristics (Rae et al. 2021); the defaults match the
+    # paper where it states one, otherwise permissive
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_ratio": 0.9,
+    "max_ellipsis_line_ratio": 0.3,
+    "min_gopher_stopwords": 0,
 }
 
 
@@ -43,7 +53,7 @@ def corpus_filter(
     """Returns (kept, audit).  audit: (id, keep boolean, reason string) —
     reason is the FIRST failing stage, 'kept' otherwise."""
     r = {**DEFAULT_RULES, **(rules or {})}
-    q = with_quality(df, text_col)
+    q = with_gopher_quality(with_quality(df, text_col), text_col)
     n_chars = F.length(F.col(text_col))
     rule_fail = (
         F.when(n_chars < r["min_chars"], F.lit("too_short"))
@@ -51,6 +61,20 @@ def corpus_filter(
         .when(F.col("punct_ratio") > r["max_punct_ratio"], F.lit("punct_ratio"))
         .when(F.col("stopword_ratio") < r["min_stopword_ratio"], F.lit("stopword_ratio"))
         .when(F.col("mean_word_len") > r["max_mean_word_len"], F.lit("word_len"))
+        .when(
+            F.col("symbol_word_ratio") > r["max_symbol_word_ratio"], F.lit("symbol_ratio")
+        )
+        .when(
+            F.col("bullet_line_ratio") > r["max_bullet_line_ratio"], F.lit("bullet_lines")
+        )
+        .when(
+            F.col("ellipsis_line_ratio") > r["max_ellipsis_line_ratio"],
+            F.lit("ellipsis_lines"),
+        )
+        .when(
+            F.col("n_gopher_stopwords") < r["min_gopher_stopwords"],
+            F.lit("gopher_stopwords"),
+        )
     )
     staged = q.withColumn("_rule_fail", rule_fail)
     if langs is not None:

@@ -71,6 +71,37 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
+
+
+def with_gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document-quality signals (Rae et al. 2021 heuristics),
+    pure codegen: symbol-to-word ratio ('#' and ellipsis), fraction of
+    lines starting with a bullet, fraction of lines ending in an ellipsis,
+    and the count of DISTINCT required stopwords present."""
+    t = F.col(text_col)
+    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    )
+    n_symbols = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\.|…"), 0))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullet = F.size(F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[•\-\*]")))
+    ellipsis = F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
+    toks = F.array_distinct(F.split(F.lower(F.trim(t)), r"\s+"))
+    stops = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]))
+    )
+    return (
+        df.withColumn(
+            "symbol_word_ratio", n_symbols / F.greatest(n_words, F.lit(1))
+        )
+        .withColumn("bullet_line_ratio", bullet / F.greatest(n_lines, F.lit(1)))
+        .withColumn("ellipsis_line_ratio", ellipsis / F.greatest(n_lines, F.lit(1)))
+        .withColumn("n_gopher_stopwords", stops)
+    )
+
+
 # ---------------------------------------------------------------------------
 # kernel-side (pandas UDFs)
 # ---------------------------------------------------------------------------

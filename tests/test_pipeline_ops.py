@@ -519,3 +519,30 @@ def test_canonical_url_rules(spark):
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     got = {r["url"]: r["canonical_url"] for r in with_canonical_url(df).collect()}
     assert got == cases, {k: (v, cases[k]) for k, v in got.items() if v != cases[k]}
+
+
+def test_gopher_quality_rules(spark):
+    """Gopher heuristics fire on crafted docs (symbol spam, bullet walls,
+    ellipsis runs, missing stopwords) and their audit reasons are ordered
+    after the C4 rules."""
+    from ocr_spark.operators.corpus_filter import corpus_filter
+
+    base = "the cat sat on the mat with a friend and some tea today here now"
+    docs = [
+        (1, base * 3),  # clean
+        (2, ("# " * 40 + base)),  # symbol_ratio: 40 '#' / ~105 words > 0.1
+        (3, "\n".join(f"- item {i} ok" for i in range(10)) + "\n" + base),  # bullets 10/11 > 0.9
+        (4, "\n".join(f"{base} part {i}..." for i in range(10))),  # all lines ellipsis
+        (5, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii hh gg " * 4),  # no stopwords
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    _kept, audit = corpus_filter(
+        df,
+        rules={"min_chars": 10, "min_gopher_stopwords": 2},
+    )
+    got = {r["doc_id"]: r["reason"] for r in audit.collect()}
+    assert got[1] == "kept"
+    assert got[2] == "symbol_ratio"
+    assert got[3] == "bullet_lines"
+    assert got[4] == "ellipsis_lines"
+    assert got[5] == "gopher_stopwords"
