@@ -684,6 +684,10 @@ def oracle_sql() -> dict[str, str]:
                               l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))
                            / greatest(len(string_split(text, chr(10))), 1)
                           > 0.3 THEN 'ellipsis_lines'
+                     WHEN (len(string_split(text, chr(10)))
+                           - len(list_distinct(string_split(text, chr(10)))))
+                           / greatest(len(string_split(text, chr(10))), 1)
+                          > 0.3 THEN 'dup_lines'
                      WHEN len(list_intersect(
                               list_distinct(string_split_regex(lower(trim(text)), '\s+')),
                               ['the','be','to','of','and','that','have','with','a','in']))

@@ -37,6 +37,7 @@ DEFAULT_RULES = {
     "max_symbol_word_ratio": 0.1,
     "max_bullet_line_ratio": 0.9,
     "max_ellipsis_line_ratio": 0.3,
+    "max_dup_line_ratio": 0.3,
     "min_gopher_stopwords": 0,
 }
 
@@ -71,6 +72,7 @@ def corpus_filter(
             F.col("ellipsis_line_ratio") > r["max_ellipsis_line_ratio"],
             F.lit("ellipsis_lines"),
         )
+        .when(F.col("dup_line_ratio") > r["max_dup_line_ratio"], F.lit("dup_lines"))
         .when(
             F.col("n_gopher_stopwords") < r["min_gopher_stopwords"],
             F.lit("gopher_stopwords"),

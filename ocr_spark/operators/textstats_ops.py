@@ -92,12 +92,16 @@ def with_gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     stops = F.size(
         F.array_intersect(toks, F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]))
     )
+    dup_lines = (n_lines - F.size(F.array_distinct(lines))) / F.greatest(
+        n_lines, F.lit(1)
+    )
     return (
         df.withColumn(
             "symbol_word_ratio", n_symbols / F.greatest(n_words, F.lit(1))
         )
         .withColumn("bullet_line_ratio", bullet / F.greatest(n_lines, F.lit(1)))
         .withColumn("ellipsis_line_ratio", ellipsis / F.greatest(n_lines, F.lit(1)))
+        .withColumn("dup_line_ratio", dup_lines)
         .withColumn("n_gopher_stopwords", stops)
     )
 

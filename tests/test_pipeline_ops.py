@@ -534,6 +534,7 @@ def test_gopher_quality_rules(spark):
         (3, "\n".join(f"- item {i} ok" for i in range(10)) + "\n" + base),  # bullets 10/11 > 0.9
         (4, "\n".join(f"{base} part {i}..." for i in range(10))),  # all lines ellipsis
         (5, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii hh gg " * 4),  # no stopwords
+        (6, "\n".join([base] * 8 + [f"{base} unique tail"])),  # 7/9 dup lines
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     _kept, audit = corpus_filter(
@@ -546,3 +547,4 @@ def test_gopher_quality_rules(spark):
     assert got[3] == "bullet_lines"
     assert got[4] == "ellipsis_lines"
     assert got[5] == "gopher_stopwords"
+    assert got[6] == "dup_lines"
