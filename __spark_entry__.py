@@ -271,7 +271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ocr_spark.operators.corpus_filter import corpus_filter
 
         _kept, audit = corpus_filter(
-            _pq(spark, sf_dir, "documents"), langs=None, rules={"min_chars": 60}
+            _pq(spark, sf_dir, "documents"),
+            langs=None,
+            rules={"min_chars": 60, "min_gopher_stopwords": 2},
         )
         return audit
 
@@ -501,10 +503,14 @@ def _lang_id_oracle() -> str:
     )
     m = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
     case = " ".join(f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs)
+    # detect_lang tokenizes with Python str.split() — UNICODE whitespace —
+    # so the mirror uses the RE2 class equivalent (ASCII ws + separators
+    # U+001C-1F + NEL + \p{Z}), not plain \s (ASCII-only in RE2)
     return rf"""
         WITH w AS (
           SELECT doc_id, lang,
-                 string_split_regex(lower(text), '\s+') AS ws
+                 string_split_regex(lower(text),
+                     '[\t\n\x0B\x0C\r\x1C-\x1F\x85\p{{Z}}]+') AS ws
           FROM documents
         ),
         s AS (
@@ -691,7 +697,7 @@ def oracle_sql() -> dict[str, str]:
                      WHEN len(list_intersect(
                               list_distinct(string_split_regex(lower(trim(text)), '\s+')),
                               ['the','be','to','of','and','that','have','with','a','in']))
-                          < 0 THEN 'gopher_stopwords'
+                          < 2 THEN 'gopher_stopwords'
                 END AS rule_fail,
                 md5(text) AS h
               FROM documents

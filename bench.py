@@ -151,6 +151,10 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         qtimes[name] = round(best, 3)
+        # dedup operators .cache() intermediates for their self-joins; drop
+        # them between queries so one query's relations don't occupy the
+        # next one's executor memory
+        spark.catalog.clearCache()
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(

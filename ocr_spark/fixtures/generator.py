@@ -62,7 +62,7 @@ def join_blocks(blocks: list[str]) -> tuple[str, list[tuple[str, int, int]]]:
     return "\n".join(normed), spans
 
 SEED = 42
-FORMAT_VERSION = 15  # bump to force regeneration everywhere (v15: width-aware parquet row groups)
+FORMAT_VERSION = 16  # bump to force regeneration everywhere (v16: multilingual glyph docs)
 
 # bench is sized so the extraction stage runs for seconds, not hundreds of
 # milliseconds, at local[32] — otherwise the ~0.3 s fixed job floor (task
@@ -305,9 +305,12 @@ BODY_BOTTOM = 700.0
 
 
 def _layout_lines(rng: random.Random, x_range: tuple[float, float], budget_lines: int, lang: str = "en") -> list[str]:
-    """Generate wrapped ASCII text lines that fit the column width."""
+    """Generate wrapped text lines that fit the column width.  Latin-script
+    languages only (fr/de words carry single-code-point accents that
+    exercise the layout branch's non-ASCII path; RTL scripts are out of
+    scope for the fixed left-to-right advance model)."""
     max_chars = int((x_range[1] - x_range[0]) / GLYPH_ADV)
-    pool = _WORDS["en"]
+    pool = _WORDS[lang]
     lines = []
     for _ in range(budget_lines):
         line_words: list[str] = []
@@ -338,6 +341,7 @@ def gen_glyph_doc(rng: random.Random, doc_id: int) -> tuple[list, list]:
     """Returns (glyph_rows, golden_rows)."""
     glyph_rows: list[tuple] = []
     golden_rows: list[tuple] = []
+    lang = rng.choice(["en", "en", "fr", "de"])  # latin scripts only (L-to-R)
     n_pages = rng.randint(1, 5)
     for page in range(1, n_pages + 1):
         two_col = rng.random() < 0.5
@@ -349,7 +353,7 @@ def gen_glyph_doc(rng: random.Random, doc_id: int) -> tuple[list, list]:
         if two_col:
             for col in (COL1, COL2):
                 n_lines = rng.randint(5, 18)
-                col_lines = _layout_lines(rng, col, n_lines)
+                col_lines = _layout_lines(rng, col, n_lines, lang)
                 y = BODY_TOP
                 for i, line in enumerate(col_lines):
                     if rng.random() < 0.12 and i > 0:
@@ -359,7 +363,7 @@ def gen_glyph_doc(rng: random.Random, doc_id: int) -> tuple[list, list]:
                 page_lines.extend(col_lines)
         else:
             n_lines = rng.randint(8, 30)
-            col_lines = _layout_lines(rng, FULL, n_lines)
+            col_lines = _layout_lines(rng, FULL, n_lines, lang)
             # ~25% of single-column pages: a figure (big vertical gap) with
             # a short caption line under it, mid-flow — the XY-cut must
             # keep the caption in reading order across the gap
@@ -511,9 +515,20 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     manifest = {"tier": tier, "seed": seed, "format_version": FORMAT_VERSION, **cfg}
     man_path = os.path.join(out_dir, "_MANIFEST.json")
+    expected = ["pages.parquet", "golden_pages.parquet"]
+    if cfg["glyph_docs"]:
+        expected += ["glyphs.parquet", "golden_glyphs.parquet"]
+    if cfg["attendance"]:
+        expected += ["attendance_docs.parquet", "golden_attendance.parquet"]
+    if cfg["warc_files"]:
+        expected += ["warc"]
     if os.path.exists(man_path):
         with open(man_path) as f:
-            if json.load(f) == manifest:
+            # a matching manifest only counts if the tables it promises are
+            # actually on disk (a partially-deleted tier must self-repair)
+            if json.load(f) == manifest and all(
+                os.path.exists(os.path.join(out_dir, e)) for e in expected
+            ):
                 return manifest  # already generated, identical config
 
     # ---- pages ----------------------------------------------------------

@@ -180,58 +180,29 @@ _TOKEN_RE = re.compile(
 )
 
 
-class _BlockState:
-    """Shared flush/data logic for the fast scanner (mirrors _BlockTokenizer)."""
-
-    __slots__ = ("blocks", "_buf", "_anchor_chars", "_anchor_depth", "_ignore_depth", "_depth")
-
-    def __init__(self) -> None:
-        self.blocks: list[Block] = []
-        self._buf: list[str] = []
-        self._anchor_chars = 0
-        self._anchor_depth = 0
-        self._ignore_depth = 0
-        self._depth = 0
-
-    def flush(self) -> None:
-        if not self._buf:
-            self._anchor_chars = 0
-            return
-        raw = "".join(self._buf)
-        self._buf.clear()
-        anchor = self._anchor_chars
-        self._anchor_chars = 0
-        parts = raw.split()  # rule N2: " ".join(split()) == collapse_ws
-        if not parts:
-            return
-        self.blocks.append(
-            Block(
-                text=" ".join(parts),
-                n_words=len(parts),
-                anchor_chars=anchor,
-                raw_chars=len(raw.strip()) or len(raw),
-                depth=self._depth,
-            )
-        )
-
-    def data(self, chunk: str) -> None:
-        if self._ignore_depth or not chunk:
-            return
-        if "&" in chunk:
-            chunk = _unescape(chunk)
-        self._buf.append(chunk)
-        if self._anchor_depth:
-            self._anchor_chars += len(chunk.strip()) or len(chunk)
-
-
 def tokenize_blocks(html: str) -> list[Block]:
-    st = _BlockState()
-    data, flush = st.data, st.flush  # bound-method hoist (hot loop)
+    """Fast scanner with all-local state (no attribute traffic in the hot
+    loop) — must emit exactly the blocks of ``tokenize_blocks_stdlib``
+    (differential-tested in tests/test_kernels.py)."""
+    blocks: list[Block] = []
+    buf: list[str] = []
+    buf_append = buf.append
+    anchor_chars = 0
+    anchor_depth = 0
+    ignore_depth = 0
+    depth = 0
     pos = 0
     for m in _TOKEN_RE.finditer(html):
         start, end = m.span()
         if start > pos:
-            data(html[pos:start])
+            # between-tag text chunk (rule N1 entity decode on demand)
+            if not ignore_depth:
+                chunk = html[pos:start]
+                if "&" in chunk:
+                    chunk = _unescape(chunk)
+                buf_append(chunk)
+                if anchor_depth:
+                    anchor_chars += len(chunk.strip()) or len(chunk)
         pos = end
         # group 3 (attrs) is never read — not materializing it skips one
         # substring allocation per tag
@@ -240,33 +211,67 @@ def tokenize_blocks(html: str) -> list[Block]:
             continue  # comment / doctype / CDATA / processing instruction
         if not name.islower():
             name = name.lower()
-        closing = slash == "/"
         if name in IGNORE_TAGS:
-            if closing:
-                if st._ignore_depth:
-                    st._ignore_depth -= 1
+            if slash == "/":
+                if ignore_depth:
+                    ignore_depth -= 1
             elif selfc != "/":
-                st._ignore_depth += 1
+                ignore_depth += 1
             continue
-        if st._ignore_depth:
+        if ignore_depth:
             continue
         if name in BLOCK_TAGS:
-            flush()
+            # block flush (rule N2 whitespace collapse)
+            if buf:
+                raw = "".join(buf)
+                buf.clear()
+                a = anchor_chars
+                anchor_chars = 0
+                parts = raw.split()  # rule N2
+                if parts:
+                    blocks.append(
+                        Block(
+                            " ".join(parts),
+                            len(parts),
+                            a,
+                            len(raw.strip()) or len(raw),
+                            depth,
+                        )
+                    )
+            else:
+                anchor_chars = 0
         if selfc == "/":  # self-closing: no depth/anchor change
             continue
-        if closing:
-            if name == "a" and st._anchor_depth:
-                st._anchor_depth -= 1
-            if st._depth:
-                st._depth -= 1
+        if slash == "/":
+            if name == "a" and anchor_depth:
+                anchor_depth -= 1
+            if depth:
+                depth -= 1
         else:
             if name == "a":
-                st._anchor_depth += 1
-            st._depth += 1
-    if pos < len(html):
-        data(html[pos:])
-    flush()
-    return st.blocks
+                anchor_depth += 1
+            depth += 1
+    if pos < len(html) and not ignore_depth:
+        chunk = html[pos:]
+        if "&" in chunk:
+            chunk = _unescape(chunk)
+        buf_append(chunk)
+        if anchor_depth:
+            anchor_chars += len(chunk.strip()) or len(chunk)
+    if buf:
+        raw = "".join(buf)
+        parts = raw.split()
+        if parts:
+            blocks.append(
+                Block(
+                    " ".join(parts),
+                    len(parts),
+                    anchor_chars,
+                    len(raw.strip()) or len(raw),
+                    depth,
+                )
+            )
+    return blocks
 
 
 def classify_main(blocks: list[Block]) -> list[bool]:

@@ -356,15 +356,31 @@ def simhash_batch(texts: list[str]) -> np.ndarray:
         return out
     buf = np.frombuffer(b"".join(encs), dtype=np.uint8)
     hashes = _hash_ranges(buf, np.concatenate(starts_l), np.concatenate(ends_l))
-    bits = ((hashes[:, None] >> _BIT_SHIFTS) & np.uint64(1)).astype(np.int64)
     nz = np.array([i for i, c in enumerate(counts) if c], dtype=np.int64)
     lens = np.array([c for c in counts if c], dtype=np.int64)
     seg_starts = np.concatenate(([0], np.cumsum(lens[:-1])))
-    sums = np.add.reduceat(bits, seg_starts, axis=0)  # (n_nonempty, 64)
-    votes = sums * 2 - lens[:, None]
-    packed = ((votes > 0).astype(np.uint64) * (np.uint64(1) << _BIT_SHIFTS)).sum(
-        axis=1, dtype=np.uint64
-    )
+    seg_ends = seg_starts + lens
+    # vote in DOC CHUNKS so the transient (words x 64) bit matrix stays
+    # bounded (~128 MB) no matter how many words one Arrow batch carries —
+    # the per-doc scalar path never allocated more than one doc's matrix
+    max_words = 1 << 18
+    packed = np.empty(len(lens), dtype=np.uint64)
+    d = 0
+    while d < len(lens):
+        e = d
+        total = 0
+        while e < len(lens) and (e == d or total + lens[e] <= max_words):
+            total += int(lens[e])
+            e += 1
+        h = hashes[seg_starts[d] : seg_ends[e - 1]]
+        bits = ((h[:, None] >> _BIT_SHIFTS) & np.uint64(1)).astype(np.int64)
+        rel_starts = (seg_starts[d:e] - seg_starts[d])
+        sums = np.add.reduceat(bits, rel_starts, axis=0)  # (chunk_docs, 64)
+        votes = sums * 2 - lens[d:e, None]
+        packed[d:e] = (
+            (votes > 0).astype(np.uint64) * (np.uint64(1) << _BIT_SHIFTS)
+        ).sum(axis=1, dtype=np.uint64)
+        d = e
     out[nz] = packed
     return out
 

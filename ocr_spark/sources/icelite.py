@@ -466,17 +466,22 @@ class IceliteTable:
         for s in self.snapshots():
             for ps in s.files.values():
                 live.update(ps)
+        # directories holding at least one live file keep their Spark
+        # sidecars (_SUCCESS, .crc); fully-orphaned write dirs lose them too
+        live_dirs = {os.path.dirname(p) for p in live}
         data_root = os.path.join(self.root, "data")
         doomed: list[str] = []
         cutoff = time.time() - older_than_s
         for dirpath, _dirs, files in os.walk(data_root):
+            rel_dir = os.path.relpath(dirpath, self.root)
+            dir_is_live = any(d == rel_dir or d.startswith(rel_dir + os.sep) for d in live_dirs)
             for fn in files:
-                if not fn.endswith(".parquet"):
-                    continue  # _SUCCESS/.crc sidecars live with their dir
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, self.root)
                 if rel in live:
                     continue
+                if not fn.endswith(".parquet") and dir_is_live:
+                    continue  # sidecar of a directory with committed data
                 if os.path.getmtime(full) > cutoff:
                     continue
                 os.remove(full)

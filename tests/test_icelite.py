@@ -171,17 +171,28 @@ def test_remove_orphan_files(spark, tmp_table, tmp_path):
     import os
 
     tmp_table.append(_df(spark, [("u1", 1), ("u2", 2)]))
-    # simulate a crashed _write_data: files on disk, no commit
+    # simulate a crashed _write_data: files + Spark sidecars, no commit
     crashed = os.path.join(tmp_table.root, "data", "w-crashed", "__bucket=0")
     os.makedirs(crashed)
     orphan = os.path.join(crashed, "part-00000.parquet")
     with open(orphan, "wb") as f:
         f.write(b"not really parquet")
+    sidecar = os.path.join(tmp_table.root, "data", "w-crashed", "_SUCCESS")
+    open(sidecar, "w").close()
     assert tmp_table.expire_snapshots(keep_last=1) == []  # can't see it
     deleted = tmp_table.remove_orphan_files()
-    assert deleted == [os.path.join("data", "w-crashed", "__bucket=0", "part-00000.parquet")]
+    assert sorted(deleted) == [
+        os.path.join("data", "w-crashed", "_SUCCESS"),
+        os.path.join("data", "w-crashed", "__bucket=0", "part-00000.parquet"),
+    ]
     assert not os.path.exists(orphan)
     assert not os.path.exists(os.path.dirname(crashed))  # empty dirs pruned
+    # committed write dirs keep their Spark sidecars (_SUCCESS at the
+    # token-dir root two levels above the bucket files)
+    head = tmp_table.snapshot()
+    some_live = next(p for ps in head.files.values() for p in ps)
+    token_dir = os.path.dirname(os.path.dirname(os.path.join(tmp_table.root, some_live)))
+    assert os.path.exists(os.path.join(token_dir, "_SUCCESS"))
     # committed data intact
     assert {r["url"] for r in tmp_table.read(spark).collect()} == {"u1", "u2"}
     # age guard: a "fresh" orphan survives when older_than_s is large
