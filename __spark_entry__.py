@@ -129,6 +129,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.col("page").cast("bigint").alias("page"), "text"
         )
 
+    def q_layout_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Engine-A parallel of extract_spans: per-document page spans into
+        the assembled layout text (north-star 'text and character spans per
+        document' for the PDF/scan branch)."""
+        from ocr_spark.operators.layout_ops import pages_to_doc_text
+
+        glyphs = spark.read.parquet(f"{fix}/glyphs.parquet")
+        docs = pages_to_doc_text(glyphs_to_page_text(glyphs))
+        s = docs.select("doc_id", F.explode("spans").alias("s"))
+        return s.select(
+            "doc_id",
+            F.col("s.field").alias("span_field"),
+            F.col("s.begin").alias("span_begin"),
+            F.col("s.end").alias("span_end"),
+        )
+
     def q_attendance_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spark.read.parquet(f"{fix}/attendance_docs.parquet")
         r = attendance_records(docs)
@@ -443,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_html": q_extract_html,
         "extract_spans": q_extract_spans,
         "extract_layout": q_extract_layout,
+        "layout_doc_spans": q_layout_doc_spans,
         "attendance_fields": q_attendance_fields,
         "attendance_explode": q_attendance_explode,
         "attendance_spans": q_attendance_spans,
@@ -548,6 +565,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_layout": f"""
             SELECT doc_id, CAST(page AS BIGINT) AS page, text FROM '{gg}'
+        """,
+        # layout page spans: independent reconstruction via a window sum of
+        # prior page lengths (+1 per \n joiner) over the GOLDEN page texts
+        "layout_doc_spans": f"""
+            SELECT doc_id,
+                   'page_' || page AS span_field,
+                   CAST(coalesce(sum(length(text) + 1) OVER (
+                        PARTITION BY doc_id ORDER BY page
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS span_begin,
+                   CAST(coalesce(sum(length(text) + 1) OVER (
+                        PARTITION BY doc_id ORDER BY page
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) + length(text) AS BIGINT) AS span_end
+            FROM '{gg}'
         """,
         "attendance_fields": f"""
             SELECT url, classe, cours, date, nom_du_professeur,

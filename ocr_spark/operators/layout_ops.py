@@ -155,14 +155,39 @@ def ocr_structured_records(glyphs: DataFrame, doc_map: DataFrame) -> DataFrame:
 
 
 def pages_to_doc_text(page_texts: DataFrame) -> DataFrame:
-    """Assemble per-document text: pages in order joined by \\n (JVM-side —
-    collect_list + array_sort on (page, text) structs, no Python)."""
+    """Assemble per-document text AND page spans: pages in order joined by
+    \\n; span ``page_<n>`` = [begin, end) code-point offsets of that page's
+    text inside the document text (the layout branch's parallel of the
+    html branch's block spans, north-star "text and character spans per
+    document").  JVM-side throughout — collect_list + array_sort + one
+    higher-order aggregate building (position, spans) as it folds."""
+    zero = F.struct(
+        F.lit(0).cast("long").alias("pos"),
+        F.array().cast(
+            "array<struct<field:string,begin:bigint,end:bigint>>"
+        ).alias("spans"),
+    )
+
+    def step(acc, p):
+        begin = acc["pos"]
+        end = begin + F.length(p["text"])
+        span = F.struct(
+            F.concat(F.lit("page_"), p["page"].cast("string")).alias("field"),
+            begin.cast("long").alias("begin"),
+            end.cast("long").alias("end"),
+        )
+        return F.struct(
+            (end + F.lit(1)).cast("long").alias("pos"),  # +1 for the joiner
+            F.array_append(acc["spans"], span).alias("spans"),
+        )
+
     return (
         page_texts.groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("page", "text"))).alias("_pages"))
         .select(
             "doc_id",
             F.array_join(F.transform("_pages", lambda p: p["text"]), "\n").alias("text"),
+            F.aggregate("_pages", zero, step)["spans"].alias("spans"),
             F.size("_pages").alias("n_pages"),
         )
     )

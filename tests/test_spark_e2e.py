@@ -202,3 +202,21 @@ def test_layout_packed_equals_grouped(spark, tiny_dir):
         for r in glyphs_to_page_text_grouped(g).collect()
     }
     assert fast == spec
+
+
+def test_layout_doc_spans_reconstruct(spark, tiny_dir):
+    """N5-style law for the layout branch: slicing the assembled document
+    text at each page span must yield exactly that page's text."""
+    from ocr_spark.operators.layout_ops import glyphs_to_page_text, pages_to_doc_text
+
+    g = spark.read.parquet(f"{tiny_dir}/glyphs.parquet")
+    pages = {
+        (r["doc_id"], r["page"]): r["text"] for r in glyphs_to_page_text(g).collect()
+    }
+    docs = pages_to_doc_text(glyphs_to_page_text(g)).collect()
+    assert docs
+    for d in docs:
+        assert len(d["spans"]) == d["n_pages"]
+        for s in d["spans"]:
+            page_no = int(s["field"].removeprefix("page_"))
+            assert d["text"][s["begin"] : s["end"]] == pages[(d["doc_id"], page_no)]
