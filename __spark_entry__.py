@@ -688,12 +688,15 @@ def oracle_sql() -> dict[str, str]:
                                  IN ('gclid', 'fbclid', 'msclkid'))) AS kept
               FROM parts
             )
-            SELECT url,
-                   scheme || '://' || host || path ||
-                   CASE WHEN len(kept) > 0
-                        THEN '?' || array_to_string(kept, '&') ELSE '' END
+            SELECT c.url,
+                   -- U6 guard mirrored: scheme-less input passes through
+                   CASE WHEN regexp_matches(m.u0, '^[A-Za-z][A-Za-z0-9+.-]*://')
+                        THEN scheme || '://' || host || path ||
+                             CASE WHEN len(kept) > 0
+                                  THEN '?' || array_to_string(kept, '&') ELSE '' END
+                        ELSE m.u0 END
                    AS canonical_url
-            FROM canon
+            FROM canon c JOIN m USING (url)
         """,
         "warc_roundtrip": f"""
             SELECT url, CAST(octet_length(html) AS BIGINT) AS html_len

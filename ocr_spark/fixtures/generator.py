@@ -62,7 +62,7 @@ def join_blocks(blocks: list[str]) -> tuple[str, list[tuple[str, int, int]]]:
     return "\n".join(normed), spans
 
 SEED = 42
-FORMAT_VERSION = 16  # bump to force regeneration everywhere (v16: multilingual glyph docs)
+FORMAT_VERSION = 17  # bump to force regeneration everywhere (v17: caption y-bound guard)
 
 # bench is sized so the extraction stage runs for seconds, not hundreds of
 # milliseconds, at local[32] — otherwise the ~0.3 s fixed job floor (task
@@ -376,11 +376,16 @@ def gen_glyph_doc(rng: random.Random, doc_id: int) -> tuple[list, list]:
                 if rng.random() < 0.12 and i > 0:
                     y += PARA_SP - LINE_SP
                 if caption_at is not None and i == caption_at:
-                    y += 40.0  # the figure: empty vertical band
-                    cap = f"figure {rng.randint(1, 9)} caption text"
-                    _emit_line_glyphs(cap, FULL[0], y, rng, glyphs)
-                    out_lines.append(cap)
-                    y += LINE_SP
+                    # only place the figure if its caption still lands inside
+                    # the body band — the kernel drops glyphs past FOOTER_Y,
+                    # so an over-deep caption would break golden/kernel
+                    # byte-identity (holds by construction, not seed luck)
+                    if y + 40.0 + LINE_SP <= BODY_BOTTOM:
+                        y += 40.0  # the figure: empty vertical band
+                        cap = f"figure {rng.randint(1, 9)} caption text"
+                        _emit_line_glyphs(cap, FULL[0], y, rng, glyphs)
+                        out_lines.append(cap)
+                        y += LINE_SP
                 if y > BODY_BOTTOM:
                     break
                 _emit_line_glyphs(line, FULL[0], y, rng, glyphs)

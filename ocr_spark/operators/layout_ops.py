@@ -79,9 +79,15 @@ def _pages_arrow_fn(batches):
 
     names = ("doc_id", "page", "cp", "x0", "y0", "x1", "y1")
     for batch in batches:
+        # resolve columns by NAME (schema lookup), not position — an
+        # upstream select reorder must fail loudly, never silently mis-map
+        idx = {n: batch.schema.get_field_index(n) for n in names}
+        missing = [n for n, i in idx.items() if i < 0]
+        if missing:
+            raise KeyError(f"glyph batch missing columns: {missing}")
         cols = {
             n: batch.column(i).to_numpy(zero_copy_only=False)
-            for i, n in enumerate(names)
+            for n, i in idx.items()
         }
         if pend is not None:
             cols = {n: np.concatenate((pend[n], cols[n])) for n in names}

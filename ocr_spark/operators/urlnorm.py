@@ -15,6 +15,10 @@ oracle mirrors them 1:1):
       order); an emptied query drops its "?".
   U5. a trailing "/" on a non-root path is stripped ("/a/b/" -> "/a/b";
       bare "https://h/" -> "https://h/").
+  U6. urls with no "scheme://" prefix (scheme-less, relative, or plain
+      garbage) pass through UNCHANGED — the component regexes would extract
+      empty scheme/host and collapse distinct malformed inputs onto one
+      "://..." key, silently merging them under icelite/dedup identity.
 
 Everything is built from regexp / array expressions — whole-stage codegen,
 no UDFs, no driver round trips.
@@ -29,9 +33,9 @@ TRACKING_EXACT = ("gclid", "fbclid", "msclkid")
 
 
 def canonical_url(col: Column | str) -> Column:
-    """The canonical form of a url column (rules U1-U5)."""
-    u = F.col(col) if isinstance(col, str) else col
-    u = F.regexp_replace(u, r"#.*$", "")  # U2 first: fragments may hold '?'
+    """The canonical form of a url column (rules U1-U6)."""
+    raw = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(raw, r"#.*$", "")  # U2 first: fragments may hold '?'
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
     host = F.when(
@@ -55,7 +59,11 @@ def canonical_url(col: Column | str) -> Column:
     qstr = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
         F.lit("")
     )
-    return F.concat(scheme, F.lit("://"), host, path, qstr)
+    # U6 guard: only urls that actually parse as scheme://... canonicalize
+    return F.when(
+        raw.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"),
+        F.concat(scheme, F.lit("://"), host, path, qstr),
+    ).otherwise(raw)
 
 
 def with_canonical_url(df, url_col: str = "url", out_col: str = "canonical_url"):

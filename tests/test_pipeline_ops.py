@@ -499,7 +499,7 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
 
 
 def test_canonical_url_rules(spark):
-    """urlnorm frozen rules U1-U5 on handpicked edges."""
+    """urlnorm frozen rules U1-U6 on handpicked edges."""
     from ocr_spark.operators.urlnorm import with_canonical_url
 
     cases = {
@@ -515,6 +515,13 @@ def test_canonical_url_rules(spark):
         "https://h.example.com/x#?notquery=1": "https://h.example.com/x",
         # :8443 is NOT a default port; utmost is NOT a utm_ param
         "https://h.example.com:8443/p?utmost=1": "https://h.example.com:8443/p?utmost=1",
+        # U6: scheme-less / malformed urls pass through UNCHANGED — they must
+        # NOT collapse onto a shared '://'-prefixed key (distinct inputs keep
+        # distinct identities under icelite merge / dedup)
+        "example.com/a/b/": "example.com/a/b/",
+        "/relative/path?utm_source=x": "/relative/path?utm_source=x",
+        "not a url at all": "not a url at all",
+        "://weird": "://weird",
     }
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     got = {r["url"]: r["canonical_url"] for r in with_canonical_url(df).collect()}
