@@ -304,7 +304,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("id_a", "id_b", "est_jaccard")
 
     def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return simhash_dup_pairs(_pq(spark, sf_dir, "documents"), max_hamming=3)
+        return simhash_dup_pairs(_pq(spark, sf_dir, "documents"), max_hamming=3).select(
+            "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+        )
 
     def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Near-dup detection demo: union the table with slightly-perturbed
@@ -543,7 +545,18 @@ def _lang_id_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ocr_spark.fixtures.sidecars import ensure_sidecars
+
     fix = _fix()
+    # signature sidecars: per-doc minhash/simhash/k-gram-hash parquet computed
+    # by the PYTHON kernels (no Spark), over which DuckDB re-derives candidate
+    # generation + verification in SQL (see ocr_spark/fixtures/sidecars.py).
+    # The driver's side-by-side gate runs at sf0.01; override for local runs
+    # at another tier via SPARK_GRAFT_ORACLE_SF_DIR (tools/check_oracles.py
+    # sets it from its sf_dir argument).
+    sc = ensure_sidecars(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    )
     gp = f"{fix}/golden_pages.parquet"
     gg = f"{fix}/golden_glyphs.parquet"
     ga = f"{fix}/golden_attendance.parquet"
@@ -911,7 +924,113 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
         """,
-        # minhash_pairs / simhash_pairs / fingerprints / dedup_pipeline:
-        # custom deterministic hash kernels, not SQL-expressible -> rows-only
-        # check; pytest goldens + planted-pair recall tests carry them.
+        # ---- signature-sidecar oracles (r3): the hash kernels run in plain
+        # Python (sidecars.py; bit-identity to the Spark batch kernels pinned
+        # by hypothesis tests), and DuckDB independently re-derives candidate
+        # generation + verification over the sidecar parquet. ----
+        # minhash: band-bucket self-join (band collision semantics identical
+        # to the Spark side: keys joined across the exploded band relation),
+        # pair dedup, then position-match verify. k/64 is exact at 6 decimals.
+        "minhash_pairs": f"""
+            WITH s AS (SELECT * FROM '{sc}/minhash.parquet'),
+            b AS (SELECT doc_id, unnest(band_keys) AS band_key FROM s),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+              FROM b a JOIN b b2
+                ON a.band_key = b2.band_key AND a.doc_id < b2.doc_id
+            )
+            SELECT c.id_a, c.id_b,
+                   round(len(list_filter(generate_series(1, 64),
+                             i -> sa.signature[i] = sb.signature[i])) / 64.0,
+                         6) AS est_jaccard
+            FROM cand c
+            JOIN s sa ON sa.doc_id = c.id_a
+            JOIN s sb ON sb.doc_id = c.id_b
+            WHERE len(list_filter(generate_series(1, 64),
+                      i -> sa.signature[i] = sb.signature[i])) / 64.0 >= 0.5
+        """,
+        # simhash: brute-force all-pairs Hamming at sf scale — this both
+        # mirrors the semantics AND proves the banded index's recall: a
+        # correct pigeonhole construction must emit exactly this pair set.
+        "simhash_pairs": f"""
+            WITH s AS (SELECT doc_id, simhash FROM '{sc}/simhash.parquet')
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # winnowing: window-min (UBIGINT, the kernel's unsigned min) over the
+        # k-gram hash sequence + consecutive-dedup, reproduced with SQL
+        # window functions; <=window hashes collapse to one fingerprint.
+        "fingerprints": f"""
+            WITH h AS (SELECT doc_id, pos, hash FROM '{sc}/kgrams.parquet'),
+            n AS (SELECT doc_id, COUNT(*) AS nh FROM h GROUP BY doc_id),
+            w0 AS (
+              SELECT doc_id, pos,
+                     min(hash) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                     AS wmin
+              FROM h
+            ),
+            w AS (SELECT w0.* FROM w0 JOIN n USING (doc_id)
+                  WHERE w0.pos <= n.nh - 4),
+            fp AS (
+              SELECT doc_id, wmin,
+                     lag(wmin) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM w
+            ),
+            counts AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN prev IS NULL OR wmin != prev
+                              THEN 1 ELSE 0 END) AS nfp
+              FROM fp GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(CASE WHEN n.nh IS NULL THEN 0
+                             WHEN n.nh <= 4 THEN 1
+                             ELSE counts.nfp END AS BIGINT) AS n_fingerprints
+            FROM documents d
+            LEFT JOIN n ON d.doc_id = n.doc_id
+            LEFT JOIN counts ON d.doc_id = counts.doc_id
+        """,
+        # dedup pipeline: exact-dup survivors (md5 min-id) -> banded minhash
+        # candidates -> >=0.8 verify -> connected components via a
+        # recursive-CTE minimum-label fixpoint -> one canonical row per
+        # cluster with its size.
+        "dedup_pipeline": f"""
+            WITH RECURSIVE surv AS (
+              SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            ),
+            s AS (SELECT m.* FROM '{sc}/minhash.parquet' m JOIN surv USING (doc_id)),
+            b AS (SELECT doc_id, unnest(band_keys) AS band_key FROM s),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+              FROM b a JOIN b b2
+                ON a.band_key = b2.band_key AND a.doc_id < b2.doc_id
+            ),
+            pairs AS (
+              SELECT c.id_a, c.id_b
+              FROM cand c
+              JOIN s sa ON sa.doc_id = c.id_a
+              JOIN s sb ON sb.doc_id = c.id_b
+              WHERE len(list_filter(generate_series(1, 64),
+                        i -> sa.signature[i] = sb.signature[i])) / 64.0 >= 0.8
+            ),
+            edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(id, label) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+            ),
+            lab AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+                    FROM reach GROUP BY id),
+            full_lab AS (
+              SELECT s2.doc_id, COALESCE(l.cluster_id, s2.doc_id) AS cluster_id
+              FROM surv s2 LEFT JOIN lab l USING (doc_id)
+            )
+            SELECT cluster_id AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM full_lab GROUP BY cluster_id
+        """,
     }
