@@ -136,42 +136,107 @@ def minhash_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
-# simhash near-dup
+# simhash near-dup (Manku-style d-choose-k banded index)
 # ---------------------------------------------------------------------------
+def _simhash_blocks(n_blocks: int) -> tuple[list[int], list[int]]:
+    """Split the 64 fingerprint bits into ``n_blocks`` near-even blocks;
+    returns (sizes, low-bit offsets)."""
+    sizes = [64 // n_blocks + (1 if j < 64 % n_blocks else 0) for j in range(n_blocks)]
+    los, lo = [], 0
+    for s in sizes:
+        los.append(lo)
+        lo += s
+    return sizes, los
+
+
+def simhash_index_plan(
+    corpus_size: int,
+    max_hamming: int = 3,
+    target_bucket_docs: int = 64,
+    max_blocks: int = 7,
+) -> int:
+    """Choose the block count for the d-choose-k index from corpus size.
+
+    The fingerprint is split into B blocks; one lookup table exists per
+    combination of (B - max_hamming) blocks, keyed on those blocks' bits
+    (Manku/Jain/Sarma, WWW'07 §3).  Pigeonhole gives recall 1.0 by
+    construction: <=max_hamming differing bits touch <=max_hamming blocks,
+    so some table's key blocks are all untouched and the pair collides
+    there.  Wider B = wider keys = smaller buckets but more tables:
+
+        B=4: C(4,1)=4  tables, >=16-bit keys  (the classic 4x16 layout)
+        B=5: C(5,2)=10 tables, >=25-bit keys
+        B=6: C(6,3)=20 tables, >=31-bit keys
+        B=7: C(7,4)=35 tables, >=36-bit keys
+
+    Expected candidate pairs per bucket scale as (n/2^key_bits)^2 per table
+    — the r2 VERDICT's 10^9-doc pathology (15k docs per 16-bit bucket) is
+    exactly an under-sized key.  This picks the smallest B whose minimum
+    key width bounds the mean bucket at ``target_bucket_docs``:
+    500 docs -> B=4; 10^9 -> B=5; 10^12 -> B=7.
+    """
+    for n_blocks in range(max_hamming + 1, max_blocks + 1):
+        sizes, _ = _simhash_blocks(n_blocks)
+        key_bits = sum(sorted(sizes)[: n_blocks - max_hamming])
+        if (1 << key_bits) * target_bucket_docs >= corpus_size:
+            return n_blocks
+    return max_blocks
+
+
 def simhash_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    n_blocks: int | None = None,
+    corpus_size: int | None = None,
+    target_bucket_docs: int = 64,
 ) -> DataFrame:
-    """4x16-bit chunk index; any pair with Hamming<=3 collides on >=1 chunk."""
+    """All pairs within Hamming distance ``max_hamming`` of each other's
+    64-bit SimHash, via a corpus-size-parameterized d-choose-k banded index
+    (recall 1.0 by pigeonhole — the brute-force DuckDB oracle checks this
+    exactly), then a JVM ``bit_count`` verify.
+
+    ``n_blocks=None`` derives the index width from ``corpus_size`` (one
+    cheap count job if that is also None) via :func:`simhash_index_plan`;
+    pass it explicitly to pin a layout.  Every table key carries its table
+    number in the high bits, so one exploded relation + one equi-join
+    serves all tables; the shuffle rows are (key, doc_id, simhash) = 24
+    bytes — the fingerprint rides along so the verify needs no second join.
+    """
     from ocr_spark.operators.textstats_ops import simhash_udf
+
+    if n_blocks is None:
+        if corpus_size is None:
+            corpus_size = df.count()
+        n_blocks = simhash_index_plan(corpus_size, max_hamming, target_bucket_docs)
+    if n_blocks <= max_hamming:
+        raise ValueError(f"n_blocks ({n_blocks}) must exceed max_hamming ({max_hamming})")
+    sizes, los = _simhash_blocks(n_blocks)
+    from itertools import combinations
+
+    tables = list(combinations(range(n_blocks), n_blocks - max_hamming))
+    keys = []
+    for t_no, blocks_sel in enumerate(tables):
+        key = F.lit(0).cast("long")
+        for j in blocks_sel:
+            # arithmetic shiftright + mask == logical extraction of block j
+            key = F.shiftleft(key, sizes[j]).bitwiseOR(
+                F.shiftright("simhash", los[j]).bitwiseAND(F.lit((1 << sizes[j]) - 1))
+            )
+        # table tag at a FIXED shift (key bits <= 37 < 56, tables <= 35):
+        # variable per-table key widths must never alias across tables
+        keys.append(key.bitwiseOR(F.shiftleft(F.lit(t_no).cast("long"), 56)))
 
     sh = df.select(
         F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("simhash")
     )
-    chunks = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk_no"),
-                        F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("c"),
-    ).select("doc_id", "simhash", "c.chunk_no", "c.chunk")
-    a, b = chunks.alias("a"), chunks.alias("b")
+    banded = sh.select("doc_id", "simhash", F.explode(F.array(*keys)).alias("k"))
+    a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.chunk_no") == F.col("b.chunk_no"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.k") == F.col("b.k")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("id_a"),
@@ -262,11 +327,15 @@ def near_dup_clusters(
     ids: DataFrame, pairs: DataFrame, max_iters: int = 20
 ) -> DataFrame:
     """Connected components over a near-dup pair list, fully distributed:
-    iterative minimum-label propagation (each node adopts the smallest id
-    reachable over one hop, repeat to fixpoint).  No driver-side union-find
-    — the pair list at web scale doesn't fit a driver.  Converges in
-    O(diameter) rounds; near-dup clusters are tiny (dup groups), so a handful
-    of iterations suffices and ``max_iters`` is a safety bound.
+    minimum-label propagation with POINTER DOUBLING — each round every node
+    (a) adopts the smallest label over one edge hop, then (b) shortcuts to
+    its current label's label (``label <- label[label]``).  The shortcut
+    makes label trees halve in depth every round, so convergence is
+    O(log diameter) rounds, not O(diameter) — a 10^6-long chain (the
+    adversarial case for plain propagation) converges in ~20 rounds.  No
+    driver-side union-find — the pair list at web scale doesn't fit a
+    driver.  Raises if ``max_iters`` rounds don't reach the fixpoint
+    (silent partial clustering would split dup groups undetectably).
 
     ids:   (doc_id)            pairs: (id_a, id_b) with id_a < id_b
     out:   (doc_id, cluster_id) — cluster_id = min doc_id of the component;
@@ -286,33 +355,63 @@ def near_dup_clusters(
     labels = edges.select(F.col("u").alias("doc_id")).distinct().withColumn(
         "cluster_id", F.col("doc_id")
     )
+    converged = False
     for _ in range(max_iters):
-        # candidate label via one hop: min over neighbors' labels
+        # (a) one edge hop: min over neighbors' labels
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc_id)
             .groupBy("u")
             .agg(F.min("cluster_id").alias("nbr_label"))
         )
+        hopped = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.u, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce("nbr_label", F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        # (b) pointer doubling: follow the label one step (labels are node
+        # ids of the same relation; labels only ever decrease, so the
+        # looked-up label is <= the current one)
+        parent = hopped.select(
+            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
+        )
         updated = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.u, "left")
+            hopped.join(parent, hopped.cluster_id == parent.p_id, "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_label", F.col("cluster_id"))
-                ).alias("cluster_id"),
-                (F.coalesce("nbr_label", F.col("cluster_id")) < F.col("cluster_id")).alias(
-                    "_changed"
+                F.coalesce("p_label", F.col("cluster_id")).alias("new_label"),
+                F.col("cluster_id").alias("old_hop_label"),
+            )
+            .join(
+                labels.select(
+                    F.col("doc_id").alias("o_id"), F.col("cluster_id").alias("old_label")
                 ),
+                F.col("doc_id") == F.col("o_id"),
+            )
+            .select(
+                "doc_id",
+                F.col("new_label").alias("cluster_id"),
+                (F.col("new_label") < F.col("old_label")).alias("_changed"),
             )
         )
         # checkpoint FIRST (one job materializes the round), then read the
-        # convergence flag back from the checkpointed data — the old shape
-        # recomputed the propagation join a second time just to count
+        # convergence flag back from the checkpointed data — never recompute
+        # the propagation join a second time just to count
         updated = updated.localCheckpoint(eager=True)  # truncate the lineage
         changed = updated.filter(F.col("_changed")).limit(1).count()
         labels = updated.drop("_changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"near_dup_clusters did not converge within {max_iters} rounds "
+            "(pointer doubling bounds rounds at ~log2(component diameter); "
+            "raise max_iters only if components legitimately span >2^"
+            f"{max_iters} nodes)"
+        )
     return ids.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
     )
@@ -353,17 +452,41 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def hyperplane_plan(corpus_size: int, target_bucket_rows: int = 256) -> int:
+    """Plane count from corpus size: enough buckets (2^planes) to bound the
+    MEAN bucket at ``target_bucket_rows`` vectors, clamped to [12, 24].
+    12 planes carries the sandbox tiers unchanged; 10^9 vectors derive 22
+    planes (4M buckets, ~240 rows each) — the r2 VERDICT's fixed-4096-bucket
+    occupancy pathology is exactly an under-sized default.  Each extra plane
+    halves single-probe recall loss's complement slowly (P(flip) per plane ~
+    angle/pi), so radius-2 multi-probe stays the recall control at any
+    width."""
+    import math
+
+    if corpus_size <= 1:
+        return 12
+    return max(12, min(24, math.ceil(math.log2(corpus_size / target_bucket_rows))))
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 12,
+    n_planes: int | None = None,
     threshold: float = 0.95,
     probe_bits: int = 0,
 ) -> DataFrame:
     """Random-hyperplane LSH (seeded splitmix64-derived planes,
     deterministic) then exact cosine verify inside buckets.  JVM-side
     throughout.
+
+    ``n_planes=None`` derives the bucket-key width from the corpus size
+    (one cheap count job) via :func:`hyperplane_plan`; pass it explicitly
+    to pin a layout.  The cached signature relation is materialized once
+    per call; callers owning a long-lived session should clear it
+    (``spark.catalog.clearCache()``) between unrelated workloads — the
+    scale path materializes signatures to a table instead (see
+    ``minhash_signatures`` + ``dedup_pipeline(signatures=...)``).
 
     ``probe_bits`` enables multi-probe: one side of the join additionally
     probes every bucket within Hamming distance ``probe_bits`` (<=2) of its
@@ -376,6 +499,8 @@ def embedding_dup_pairs(
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    if n_planes is None:
+        n_planes = hyperplane_plan(df.count())
     dim_df = df.select(F.size(vec_col).alias("d")).limit(1).collect()
     dim = dim_df[0]["d"] if dim_df else 0
     planes_np = np.array(_hyperplanes(n_planes, dim))  # (p, d)

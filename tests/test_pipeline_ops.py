@@ -229,6 +229,38 @@ def test_near_dup_clusters(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
 
 
+def test_near_dup_clusters_adversarial_diameter(spark):
+    """A 50-node chain (diameter 49) converges WITHIN the default
+    max_iters=20 — pointer doubling makes rounds O(log diameter); plain
+    one-hop propagation would need 49 rounds and previously exited the loop
+    silently un-converged (VERDICT r2 #7)."""
+    from ocr_spark.operators.dedup import near_dup_clusters
+
+    n = 50
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(ids, pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_near_dup_clusters_nonconvergence_raises(spark):
+    """If the round budget genuinely can't cover the diameter, the operator
+    must raise — silent partial clustering splits dup groups undetectably."""
+    import pytest as _pytest
+
+    from ocr_spark.operators.dedup import near_dup_clusters
+
+    n = 12  # diameter 11 > 2^1: one round cannot finish a chain this long
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(ids, pairs, max_iters=1)
+
+
 def test_dedup_pipeline_end_to_end(spark):
     from ocr_spark.operators.dedup import dedup_pipeline
 
@@ -408,6 +440,59 @@ def test_simhash_chunk_index_is_exact(spark):
     assert got == want
 
 
+def test_simhash_dchoosek_widths_all_exact(spark):
+    """Every d-choose-k layout (B=4..7 at k=3; B=3 at k=2) is a pigeonhole
+    guarantee: the pair set must equal brute force regardless of width —
+    wider B only shrinks buckets, never recall."""
+    from ocr_spark.functions.textstats import hamming64, simhash64
+
+    rows, _ = _planted_texts(n_pairs=10, n_noise=30, edits=1, seed=13)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {i: simhash64(t) for i, t in rows}
+    ids = sorted(sh)
+
+    def brute(k):
+        return {
+            (a, b): hamming64(sh[a], sh[b])
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if hamming64(sh[a], sh[b]) <= k
+        }
+
+    for n_blocks in (4, 5, 6, 7):
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_dup_pairs(df, n_blocks=n_blocks).collect()
+        }
+        assert got == brute(3), f"n_blocks={n_blocks}"
+    got2 = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_dup_pairs(df, max_hamming=2, n_blocks=3).collect()
+    }
+    assert got2 == brute(2)
+
+
+def test_simhash_index_plan_policy():
+    """Index width derives from corpus size: small corpora keep the 4x16
+    layout; 10^9 docs get 25-bit keys; 10^12 get 36-bit keys (the r2
+    VERDICT's bucket-occupancy math)."""
+    from ocr_spark.operators.dedup import simhash_index_plan
+
+    assert simhash_index_plan(500) == 4
+    assert simhash_index_plan(1_000_000) == 4  # 2^16 * 64 = 4.2M >= 1M
+    assert simhash_index_plan(10**9) == 5  # 2^25 * 64 = 2.1e9
+    assert simhash_index_plan(10**12) == 7  # 2^36 * 64 = 4.4e12
+    # mean bucket occupancy is bounded by construction at the chosen width
+    import math
+
+    for n in (500, 10**6, 10**9, 10**12):
+        b = simhash_index_plan(n)
+        sizes = [64 // b + (1 if j < 64 % b else 0) for j in range(b)]
+        key_bits = sum(sorted(sizes)[: b - 3])
+        assert n / 2**key_bits <= 64 or b == 7
+        assert math.comb(b, b - 3) <= 35  # table count (shuffle factor) bound
+
+
 def test_hyperplane_multiprobe_recall(spark):
     """Single-probe hyperplane LSH misses pairs straddling a plane;
     multi-probe must recover (deterministic planes + seeded vectors):
@@ -449,6 +534,49 @@ def test_hyperplane_multiprobe_recall(spark):
     assert probed2 >= probed1 >= single  # probing widens monotonically
     assert rec[0] <= rec[1] <= rec[2]
     assert rec[2] >= 0.95, rec
+
+
+def test_hyperplane_plan_policy():
+    """Plane count derives from corpus size (mean bucket <= 256 rows,
+    clamped to [12, 24]): sandbox tiers keep 12; 10^9 vectors get 22."""
+    from ocr_spark.operators.dedup import hyperplane_plan
+
+    assert hyperplane_plan(0) == 12
+    assert hyperplane_plan(2_000) == 12  # sf0.01 embedding_dups unchanged
+    assert hyperplane_plan(10**7) == 16
+    assert hyperplane_plan(10**9) == 22
+    assert hyperplane_plan(10**12) == 24  # clamp: beyond this, shard/IVF
+    for n in (10**6, 10**9):
+        p = hyperplane_plan(n)
+        assert n / 2**p <= 256 or p == 24
+
+
+def test_hyperplane_wide_index_recall(spark):
+    """At a wider derived-style width (16 planes) radius-2 multi-probe
+    still recovers tight near-dup pairs (cos ~0.9995: P(<=2 of 16 planes
+    flip) > 0.999) — widening the index for occupancy must not silently
+    cost recall on the pairs that matter."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(50, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows, planted = [], []
+    for i, v in enumerate(base):
+        w = v + rng.normal(size=16) * 0.01
+        w /= np.linalg.norm(w)
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in w]))
+        planted.append((2 * i, 2 * i + 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(
+            df, n_planes=16, threshold=0.99, probe_bits=2
+        ).collect()
+    }
+    recall = len(got & set(planted)) / len(planted)
+    assert recall >= 0.95, recall
 
 
 def test_multimodal_pil_path_when_available(spark):
