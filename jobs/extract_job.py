@@ -19,8 +19,10 @@ import sys
 
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--input", required=True, help="pages parquet path or WARC dir")
-    p.add_argument("--format", choices=["parquet", "warc"], default="parquet")
+    p.add_argument(
+        "--input", required=True, help="pages parquet path, WARC dir, or icelite root"
+    )
+    p.add_argument("--format", choices=["parquet", "warc", "icelite"], default="parquet")
     p.add_argument("--output", required=True, help="icelite table root")
     p.add_argument("--buckets", type=int, default=16)
     p.add_argument("--group-size", type=int, default=4)
@@ -52,6 +54,13 @@ def main(argv: list[str] | None = None) -> None:
             from ocr_spark.sources.warc import read_warc
 
             pages = read_warc(spark, args.input).drop("warc_file")
+        elif args.format == "icelite":
+            # bucket-laid-out input: each group reads ONLY its buckets'
+            # files (manifest pruning) — the resume path scans nothing of
+            # the committed groups
+            pages = IceliteTable(args.input, key_col="url", n_buckets=args.buckets)
+            if not pages.exists():
+                raise FileNotFoundError(args.input)
         else:
             pages = spark.read.parquet(args.input)
     except Exception as e:  # noqa: BLE001 — operator-friendly CLI error
@@ -64,7 +73,7 @@ def main(argv: list[str] | None = None) -> None:
     # sink error taxonomy -> distinct exit codes so an orchestrator can
     # retry conflicts (3) but page a human on schema drift (4)
     try:
-        stats = pipe.run(pages, max_concurrent=args.max_concurrent)
+        stats = pipe.run(pages, max_concurrent=args.max_concurrent, spark=spark)
     except SchemaMismatchError as e:
         print(f"error: schema rejected: {e}", file=sys.stderr)
         raise SystemExit(4) from None

