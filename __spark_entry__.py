@@ -321,6 +321,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb.select("vec_id", "embedding").unionByName(perturbed), threshold=0.999
         )
 
+    def q_corpus_filter_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The full cleaning pass WITH near-dedup: rule filters -> exact
+        dedup -> MinHash-LSH clustering -> canonical survivors; audit row
+        per input doc.  Oracle: the rules CTE + banded-minhash candidates +
+        recursive-CTE clustering over the signature sidecar."""
+        from ocr_spark.operators.corpus_filter import corpus_filter
+
+        _kept, audit = corpus_filter(
+            _pq(spark, sf_dir, "documents"),
+            langs=None,
+            rules={"min_chars": 60, "min_gopher_stopwords": 2},
+            near_dedup=True,
+            near_threshold=0.8,
+        )
+        return audit
+
+    def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Real in-container audio modality: stdlib RIFF/WAVE header parse
+        over binary payloads (E6 per-row errors); the oracle is the
+        generator's PARAMETER-derived golden — independent of the parser."""
+        from ocr_spark.operators.multimodal import decode_audio
+
+        media = spark.read.parquet(f"{fix}/audio.parquet")
+        m = decode_audio(media)
+        return m.select(
+            "media_id",
+            F.col("meta.n_channels").alias("n_channels"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+            F.col("meta.bits_per_sample").alias("bits_per_sample"),
+            F.col("meta.n_frames").alias("n_frames"),
+            F.col("meta.duration_s").alias("duration_s"),
+            F.col("meta.sha256").alias("sha256"),
+            F.coalesce(F.col("meta.error"), F.lit("")).alias("error"),
+        )
+
     # -- similarity search ------------------------------------------------
     def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
         row = (
@@ -477,6 +512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "warc_roundtrip": q_warc_roundtrip,
         "corpus_filter_audit": q_corpus_filter_audit,
+        "corpus_filter_near": q_corpus_filter_near,
+        "audio_meta": q_audio_meta,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -542,6 +579,45 @@ def _lang_id_oracle() -> str:
                CASE WHEN m = 0 THEN 'und' {case} END AS lang_pred
         FROM sm
     """
+
+
+# the corpus_filter rule battery (C4 + Gopher heuristics), shared by the
+# corpus_filter_audit and corpus_filter_near oracles — first failing stage,
+# mirroring ocr_spark/operators/corpus_filter.py rule order 1:1
+_CF_RULES_SQL = r"""
+              SELECT doc_id,
+                CASE WHEN length(text) < 60 THEN 'too_short'
+                     WHEN length(text) > 1000000 THEN 'too_long'
+                     WHEN round(len(regexp_extract_all(text, '[.,;:!?]'))
+                           / greatest(length(text), 1), 6) > 0.2 THEN 'punct_ratio'
+                     WHEN round(length(regexp_replace(text, '\s+', '', 'g'))
+                           / greatest(CASE WHEN trim(text) = '' THEN 0
+                                      ELSE len(string_split_regex(trim(text), '\s+')) END, 1), 6)
+                          > 14.0 THEN 'word_len'
+                     WHEN len(regexp_extract_all(text, '#|\.\.\.|…'))
+                           / greatest(CASE WHEN trim(text) = '' THEN 0
+                                      ELSE len(string_split_regex(trim(text), '\s+')) END, 1)
+                          > 0.1 THEN 'symbol_ratio'
+                     WHEN len(list_filter(string_split(text, chr(10)),
+                              l -> regexp_matches(ltrim(l), '^[•\-\*]')))
+                           / greatest(len(string_split(text, chr(10))), 1)
+                          > 0.9 THEN 'bullet_lines'
+                     WHEN len(list_filter(string_split(text, chr(10)),
+                              l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))
+                           / greatest(len(string_split(text, chr(10))), 1)
+                          > 0.3 THEN 'ellipsis_lines'
+                     WHEN (len(string_split(text, chr(10)))
+                           - len(list_distinct(string_split(text, chr(10)))))
+                           / greatest(len(string_split(text, chr(10))), 1)
+                          > 0.3 THEN 'dup_lines'
+                     WHEN len(list_intersect(
+                              list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+                              ['the','be','to','of','and','that','have','with','a','in']))
+                          < 2 THEN 'gopher_stopwords'
+                END AS rule_fail,
+                md5(text) AS h
+              FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -715,41 +791,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, CAST(octet_length(html) AS BIGINT) AS html_len
             FROM '{pages}'
         """,
-        "corpus_filter_audit": r"""
-            WITH m AS (
-              SELECT doc_id,
-                CASE WHEN length(text) < 60 THEN 'too_short'
-                     WHEN length(text) > 1000000 THEN 'too_long'
-                     WHEN round(len(regexp_extract_all(text, '[.,;:!?]'))
-                           / greatest(length(text), 1), 6) > 0.2 THEN 'punct_ratio'
-                     WHEN round(length(regexp_replace(text, '\s+', '', 'g'))
-                           / greatest(CASE WHEN trim(text) = '' THEN 0
-                                      ELSE len(string_split_regex(trim(text), '\s+')) END, 1), 6)
-                          > 14.0 THEN 'word_len'
-                     WHEN len(regexp_extract_all(text, '#|\.\.\.|…'))
-                           / greatest(CASE WHEN trim(text) = '' THEN 0
-                                      ELSE len(string_split_regex(trim(text), '\s+')) END, 1)
-                          > 0.1 THEN 'symbol_ratio'
-                     WHEN len(list_filter(string_split(text, chr(10)),
-                              l -> regexp_matches(ltrim(l), '^[•\-\*]')))
-                           / greatest(len(string_split(text, chr(10))), 1)
-                          > 0.9 THEN 'bullet_lines'
-                     WHEN len(list_filter(string_split(text, chr(10)),
-                              l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))
-                           / greatest(len(string_split(text, chr(10))), 1)
-                          > 0.3 THEN 'ellipsis_lines'
-                     WHEN (len(string_split(text, chr(10)))
-                           - len(list_distinct(string_split(text, chr(10)))))
-                           / greatest(len(string_split(text, chr(10))), 1)
-                          > 0.3 THEN 'dup_lines'
-                     WHEN len(list_intersect(
-                              list_distinct(string_split_regex(lower(trim(text)), '\s+')),
-                              ['the','be','to','of','and','that','have','with','a','in']))
-                          < 2 THEN 'gopher_stopwords'
-                END AS rule_fail,
-                md5(text) AS h
-              FROM documents
-            ),
+        # audio: the golden carries the generator's PARAMETERS (channels,
+        # rate, frames -> duration), written by the stdlib `wave` module —
+        # an independent code path from the kernel's manual RIFF parse
+        "audio_meta": f"""
+            SELECT media_id, n_channels, sample_rate, bits_per_sample,
+                   n_frames, duration_s, sha256, coalesce(error, '') AS error
+            FROM '{fix}/golden_audio.parquet'
+        """,
+        "corpus_filter_audit": f"""
+            WITH m AS ({_CF_RULES_SQL}),
             surv AS (
               SELECT MIN(doc_id) AS doc_id FROM m WHERE rule_fail IS NULL GROUP BY h
             )
@@ -758,6 +809,53 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(
                      CASE WHEN m.rule_fail IS NULL
                                AND m.doc_id IN (SELECT doc_id FROM surv)
+                          THEN 'kept' END,
+                     m.rule_fail, 'duplicate') AS reason
+            FROM m
+        """,
+        # near-dedup variant: the same rules CTE, then banded-minhash
+        # candidates over the signature sidecar restricted to exact-dup
+        # survivors, >=0.8 verify, recursive-CTE clustering; keep = the
+        # canonical (min-id) member of each near-dup cluster
+        "corpus_filter_near": f"""
+            WITH RECURSIVE m AS ({_CF_RULES_SQL}),
+            surv AS (
+              SELECT MIN(doc_id) AS doc_id FROM m WHERE rule_fail IS NULL GROUP BY h
+            ),
+            s AS (SELECT mm.* FROM '{sc}/minhash.parquet' mm JOIN surv USING (doc_id)),
+            b AS (SELECT doc_id, unnest(band_keys) AS band_key FROM s),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+              FROM b a JOIN b b2
+                ON a.band_key = b2.band_key AND a.doc_id < b2.doc_id
+            ),
+            pairs AS (
+              SELECT c.id_a, c.id_b
+              FROM cand c
+              JOIN s sa ON sa.doc_id = c.id_a
+              JOIN s sb ON sb.doc_id = c.id_b
+              WHERE len(list_filter(generate_series(1, 64),
+                        i -> sa.signature[i] = sb.signature[i])) / 64.0 >= 0.8
+            ),
+            edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(id, label) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+            ),
+            lab AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+                    FROM reach GROUP BY id),
+            final AS (
+              SELECT s2.doc_id
+              FROM surv s2 LEFT JOIN lab l USING (doc_id)
+              WHERE COALESCE(l.cluster_id, s2.doc_id) = s2.doc_id
+            )
+            SELECT m.doc_id,
+                   (m.rule_fail IS NULL AND m.doc_id IN (SELECT doc_id FROM final)) AS keep,
+                   COALESCE(
+                     CASE WHEN m.rule_fail IS NULL
+                               AND m.doc_id IN (SELECT doc_id FROM final)
                           THEN 'kept' END,
                      m.rule_fail, 'duplicate') AS reason
             FROM m

@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "sessionize",
     "broadcast_join_agg",
     "corpus_filter_audit",
+    "corpus_filter_near",
+    "audio_meta",
     "dedup_pipeline",
 ]
 

@@ -62,16 +62,16 @@ def join_blocks(blocks: list[str]) -> tuple[str, list[tuple[str, int, int]]]:
     return "\n".join(normed), spans
 
 SEED = 42
-FORMAT_VERSION = 17  # bump to force regeneration everywhere (v17: caption y-bound guard)
+FORMAT_VERSION = 18  # bump to force regeneration everywhere (v18: WAV audio fixtures)
 
 # bench is sized so the extraction stage runs for seconds, not hundreds of
 # milliseconds, at local[32] — otherwise the ~0.3 s fixed job floor (task
 # scheduling, result collection) dominates and the N-vs-4N scaling
 # comparison measures overhead, not the operator.
 TIERS = {
-    "tiny": {"pages": 100, "glyph_docs": 20, "attendance": 50, "warc_files": 4},
-    "small": {"pages": 1000, "glyph_docs": 200, "attendance": 400, "warc_files": 8},
-    "bench": {"pages": 160000, "glyph_docs": 8000, "attendance": 0, "warc_files": 0},
+    "tiny": {"pages": 100, "glyph_docs": 20, "attendance": 50, "warc_files": 4, "audio": 40},
+    "small": {"pages": 1000, "glyph_docs": 200, "attendance": 400, "warc_files": 8, "audio": 200},
+    "bench": {"pages": 160000, "glyph_docs": 8000, "attendance": 0, "warc_files": 0, "audio": 0},
 }
 
 EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
@@ -527,6 +527,8 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
         expected += ["attendance_docs.parquet", "golden_attendance.parquet"]
     if cfg["warc_files"]:
         expected += ["warc"]
+    if cfg.get("audio"):
+        expected += ["audio.parquet", "golden_audio.parquet"]
     if os.path.exists(man_path):
         with open(man_path) as f:
             # a matching manifest only counts if the tables it promises are
@@ -736,9 +738,121 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
             with open(os.path.join(warc_dir, f"part-{si:03d}.warc.gz"), "wb") as f:
                 f.write(_gzip.compress(bytes(buf)))
 
+    # ---- audio (binary media column + parameter-derived golden) ---------
+    if cfg.get("audio"):
+        rng = random.Random(f"{seed}-audio-{tier}")
+        payloads, goldens = [], []
+        for mid in range(cfg["audio"]):
+            p, g = gen_audio_doc(rng, mid)
+            payloads.append(p)
+            goldens.append(g)
+        _write(
+            os.path.join(out_dir, "audio.parquet"),
+            pa.table(
+                {
+                    "media_id": pa.array([g["media_id"] for g in goldens], pa.int64()),
+                    "kind": ["audio"] * len(goldens),
+                    "payload": pa.array(payloads, pa.binary()),
+                    "content_type": ["audio/wav"] * len(goldens),
+                }
+            ),
+        )
+        _write(
+            os.path.join(out_dir, "golden_audio.parquet"),
+            pa.table(
+                {
+                    "media_id": pa.array([g["media_id"] for g in goldens], pa.int64()),
+                    "n_channels": pa.array([g["n_channels"] for g in goldens], pa.int32()),
+                    "sample_rate": pa.array([g["sample_rate"] for g in goldens], pa.int32()),
+                    "bits_per_sample": pa.array(
+                        [g["bits_per_sample"] for g in goldens], pa.int32()
+                    ),
+                    "n_frames": pa.array([g["n_frames"] for g in goldens], pa.int64()),
+                    "duration_s": pa.array([g["duration_s"] for g in goldens], pa.float64()),
+                    "sha256": [g["sha256"] for g in goldens],
+                    "error": [g["error"] for g in goldens],
+                }
+            ),
+        )
+
     with open(man_path, "w") as f:
         json.dump(manifest, f)
     return manifest
+
+
+# ---------------------------------------------------------------------------
+# audio fixtures — real WAV bytes via the STDLIB `wave` writer; the kernel
+# (ocr_spark.operators.multimodal._wav_decode) parses RIFF manually, so the
+# two sides share no code.  Goldens are computed from the generator's
+# PARAMETERS (channels/rate/frames), never by parsing the bytes.
+# ---------------------------------------------------------------------------
+_WAV_RATES = (8000, 16000, 22050, 44100)
+
+
+def gen_audio_doc(rng: random.Random, media_id: int) -> tuple[bytes | None, dict]:
+    """Returns (payload, golden-metadata dict).  ~70% valid PCM WAVs; the
+    rest exercise the per-row error taxonomy: non-PCM codec (patched format
+    code), truncated data, header-cut, garbage, empty/null."""
+    import hashlib
+    import io
+    import struct
+    import wave
+
+    def zeros(err: str, sha: str = "") -> dict:
+        return {
+            "media_id": media_id, "n_channels": 0, "sample_rate": 0,
+            "bits_per_sample": 0, "n_frames": 0, "duration_s": 0.0,
+            "sha256": sha, "error": err,
+        }
+
+    roll = rng.random()
+    if roll < 0.04:
+        return None, zeros("EMPTY_INPUT")
+    if roll < 0.08:
+        return b"", zeros("EMPTY_INPUT")
+    if roll < 0.13:
+        junk = b"JUNK" + bytes(rng.getrandbits(8) for _ in range(rng.randint(8, 64)))
+        return junk, zeros("NOT_RIFF", hashlib.sha256(junk).hexdigest())
+
+    ch = rng.choice((1, 2))
+    rate = rng.choice(_WAV_RATES)
+    sampwidth = rng.choice((1, 2))
+    frames = rng.randint(50, 4000)
+    block_align = ch * sampwidth
+    pcm = bytes(rng.getrandbits(8) for _ in range(frames * block_align))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        w.writeframes(pcm)
+    payload = buf.getvalue()  # canonical 44-byte header + data
+    base = {
+        "media_id": media_id, "n_channels": ch, "sample_rate": rate,
+        "bits_per_sample": sampwidth * 8, "n_frames": frames,
+        "duration_s": round(frames / rate, 6), "sha256": "", "error": None,
+    }
+    if roll < 0.2:  # non-PCM codec: patch the fmt audio-format code (85=MP3)
+        p = bytearray(payload)
+        p[20:22] = struct.pack("<H", 85)
+        payload = bytes(p)
+        base.update(n_frames=0, duration_s=0.0, error="UNSUPPORTED_CODEC")
+    elif roll < 0.26:  # data chunk cut in half mid-stream
+        data_size = frames * block_align
+        payload = payload[: 44 + data_size // 2]
+        avail_frames = (data_size // 2) // block_align
+        base.update(
+            n_frames=avail_frames,
+            duration_s=round(avail_frames / rate, 6),
+            error="TRUNCATED",
+        )
+    elif roll < 0.3:  # cut inside the header: fmt never parses
+        payload = payload[:16]
+        z = zeros("NO_FMT")
+        z["sha256"] = hashlib.sha256(payload).hexdigest()
+        return payload, z
+    base["sha256"] = hashlib.sha256(payload).hexdigest()
+    return payload, base
 
 
 def _warc_record(

@@ -129,6 +129,101 @@ def decode_images(
     return media.filter(F.col("kind") == "image").mapInPandas(fn, out_schema)
 
 
+AUDIO_META_TYPE = T.StructType(
+    [
+        T.StructField("n_channels", T.IntegerType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("bits_per_sample", T.IntegerType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("duration_s", T.DoubleType(), False),
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def _wav_decode(payload: bytes | None) -> dict:
+    """RIFF/WAVE header parse — pure stdlib ``struct``, no codec library:
+    channels, sample rate, bit depth, frame count, duration.  The REAL
+    in-container modality (the fixture generator writes its WAVs with the
+    independent stdlib ``wave`` writer).  Per-row error taxonomy, E6
+    semantics (errors recorded, never raised — the reference captures media
+    failures per document the same way, extract-data-from-pdf.ts:134-145):
+
+      EMPTY_INPUT / NOT_RIFF / NO_FMT / NO_DATA — structural failures;
+      UNSUPPORTED_CODEC — fmt present but not PCM (format code != 1): the
+        compressed-codec boundary (channels/rate/bits still reported);
+      TRUNCATED — data chunk shorter than declared: frames reflect the
+        bytes actually present.
+    """
+    import struct
+
+    out = {
+        "n_channels": 0, "sample_rate": 0, "bits_per_sample": 0,
+        "n_frames": 0, "duration_s": 0.0, "sha256": "", "error": None,
+    }
+    if payload is None or len(payload) == 0:
+        out["error"] = "EMPTY_INPUT"
+        return out
+    out["sha256"] = hashlib.sha256(payload).hexdigest()
+    if len(payload) < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        out["error"] = "NOT_RIFF"
+        return out
+    fmt = None
+    data_off = data_size = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt " and size >= 16 and pos + 8 + 16 <= len(payload):
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif cid == b"data":
+            data_off, data_size = pos + 8, size
+            break  # canonical WAV: data is the payload tail
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None:
+        out["error"] = "NO_FMT"
+        return out
+    audio_format, ch, rate, _byte_rate, block_align, bits = fmt
+    out.update(n_channels=ch, sample_rate=rate, bits_per_sample=bits)
+    if audio_format != 1:  # PCM only; compressed codecs stay a boundary
+        out["error"] = "UNSUPPORTED_CODEC"
+        return out
+    if data_off is None:
+        out["error"] = "NO_DATA"
+        return out
+    avail = min(data_size, len(payload) - data_off)
+    frames = avail // block_align if block_align else 0
+    out["n_frames"] = frames
+    out["duration_s"] = round(frames / rate, 6) if rate else 0.0
+    if avail < data_size:
+        out["error"] = "TRUNCATED"
+    return out
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """audio rows -> decoded metadata via mapInPandas (binary payload over
+    Arrow; same plumbing shape as ``decode_images``, but the decoder is a
+    real stdlib RIFF parse — no optional dependency, no stub)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("meta", AUDIO_META_TYPE, False),
+        ]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "meta": [_wav_decode(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(fn, out_schema)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: explodes frame indexes JVM-side from
     (stubbed) duration metadata; the decode itself is the same

@@ -608,6 +608,77 @@ def test_hyperplane_wide_index_recall(spark):
     assert recall >= 0.95, recall
 
 
+def test_wav_decode_kernel_taxonomy():
+    """Pure-kernel RIFF parse: a stdlib-wave-written file round-trips its
+    parameters; every malformed shape lands in the error channel with the
+    right code; the kernel NEVER raises (E6)."""
+    import io
+    import struct
+    import wave
+
+    from ocr_spark.operators.multimodal import _wav_decode
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(b"\x00" * (2 * 2 * 800))
+    wav = buf.getvalue()
+
+    ok = _wav_decode(wav)
+    assert ok["error"] is None
+    assert (ok["n_channels"], ok["sample_rate"], ok["bits_per_sample"]) == (2, 16000, 16)
+    assert ok["n_frames"] == 800 and ok["duration_s"] == round(800 / 16000, 6)
+
+    assert _wav_decode(None)["error"] == "EMPTY_INPUT"
+    assert _wav_decode(b"")["error"] == "EMPTY_INPUT"
+    assert _wav_decode(b"JUNKJUNKJUNKJUNK")["error"] == "NOT_RIFF"
+    assert _wav_decode(wav[:16])["error"] == "NO_FMT"
+
+    trunc = _wav_decode(wav[: 44 + 800])  # half the data bytes
+    assert trunc["error"] == "TRUNCATED"
+    assert trunc["n_frames"] == 800 // 4  # 4-byte frames, 800 bytes left
+
+    mp3ish = bytearray(wav)
+    mp3ish[20:22] = struct.pack("<H", 85)
+    codec = _wav_decode(bytes(mp3ish))
+    assert codec["error"] == "UNSUPPORTED_CODEC"
+    assert codec["n_channels"] == 2 and codec["n_frames"] == 0
+
+    # never raises on arbitrary prefixes of a valid file
+    for cut in range(0, len(wav), 7):
+        _wav_decode(wav[:cut])
+
+
+def test_audio_decode_matches_parameter_golden(spark, tiny_dir):
+    """decode_audio over the fixture == the generator's parameter-derived
+    golden on every field — writer (stdlib wave) and parser (manual RIFF)
+    share no code."""
+    from ocr_spark.operators.multimodal import decode_audio
+
+    media = spark.read.parquet(f"{tiny_dir}/audio.parquet")
+    got = {
+        r["media_id"]: (
+            r["meta"]["n_channels"], r["meta"]["sample_rate"],
+            r["meta"]["bits_per_sample"], r["meta"]["n_frames"],
+            r["meta"]["duration_s"], r["meta"]["sha256"], r["meta"]["error"],
+        )
+        for r in decode_audio(media).collect()
+    }
+    want = {
+        r["media_id"]: (
+            r["n_channels"], r["sample_rate"], r["bits_per_sample"],
+            r["n_frames"], r["duration_s"], r["sha256"], r["error"],
+        )
+        for r in spark.read.parquet(f"{tiny_dir}/golden_audio.parquet").collect()
+    }
+    assert got == want
+    # the taxonomy is actually exercised by the fixture
+    errs = {v[-1] for v in want.values()}
+    assert {None, "EMPTY_INPUT", "NOT_RIFF", "NO_FMT", "UNSUPPORTED_CODEC", "TRUNCATED"} <= errs
+
+
 def test_multimodal_pil_path_when_available(spark):
     """When PIL is importable the real decoder is used (tiny valid PNG
     decodes; garbage bytes land in the per-row error channel, never raise);
