@@ -88,7 +88,7 @@ def test_extract_job_exit_codes(spark, tiny_dir, monkeypatch):
         main(["--input", "/nonexistent/nope.parquet", "--output", "/tmp/never"])
     assert e.value.code == 2
 
-    def boom_conflict(self, pages, max_concurrent=1):
+    def boom_conflict(self, pages, max_concurrent=1, spark=None):
         raise CommitConflictError("bucket 3 changed under a concurrent merge")
 
     monkeypatch.setattr(P.ExtractionPipeline, "run", boom_conflict)
@@ -96,7 +96,7 @@ def test_extract_job_exit_codes(spark, tiny_dir, monkeypatch):
         main(["--input", inp, "--output", "/tmp/never"])
     assert e.value.code == 3
 
-    def boom_schema(self, pages, max_concurrent=1):
+    def boom_schema(self, pages, max_concurrent=1, spark=None):
         raise SchemaMismatchError("missing columns ['text']")
 
     monkeypatch.setattr(P.ExtractionPipeline, "run", boom_schema)
