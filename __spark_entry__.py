@@ -356,6 +356,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce(F.col("meta.error"), F.lit("")).alias("error"),
         )
 
+    # -- corpus construction ops ------------------------------------------
+    def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ocr_spark.operators.corpus_ops import deterministic_sample
+
+        return deterministic_sample(
+            _pq(spark, sf_dir, "documents"), keep_pct=20
+        ).select("doc_id", "lang", "n_chars")
+
+    def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Benchmark decontamination: every 97th doc stands in as the eval
+        set; corpus docs sharing a 13-gram with it are flagged (exact dups
+        and near-dups of benchmark docs must light up)."""
+        from ocr_spark.operators.corpus_ops import decontaminate
+
+        docs = _pq(spark, sf_dir, "documents")
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        return decontaminate(docs, bench, n=13)
+
+    def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ocr_spark.operators.corpus_ops import pack_sequences
+
+        return pack_sequences(_pq(spark, sf_dir, "documents"), token_budget=2048)
+
+    def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ocr_spark.operators.corpus_ops import unigram_logprob
+
+        return unigram_logprob(_pq(spark, sf_dir, "documents"))
+
     # -- similarity search ------------------------------------------------
     def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
         row = (
@@ -514,6 +542,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter_audit": q_corpus_filter_audit,
         "corpus_filter_near": q_corpus_filter_near,
         "audio_meta": q_audio_meta,
+        "sample_deterministic": q_sample_deterministic,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
+        "unigram_logprob": q_unigram_logprob,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -917,6 +949,78 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.999
         """,
         "lang_id": _lang_id_oracle(),
+        # corpus construction ops (round 3): all pure-SQL-mirrorable
+        "sample_deterministic": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE ('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 < 20
+        """,
+        "decontaminate": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\s+') END AS toks
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                            WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+                            ELSE list_transform(generate_series(1, len(toks) - 12),
+                                                i -> array_to_string(toks[i:i+12], ' '))
+                       END) AS gs
+              FROM tok
+            ),
+            flat AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+            bench AS (SELECT DISTINCT gram FROM flat WHERE doc_id % 97 = 0),
+            hits AS (
+              SELECT f.doc_id, COUNT(*) AS n_matched_grams
+              FROM flat f JOIN bench USING (gram)
+              GROUP BY f.doc_id
+            )
+            SELECT d.doc_id,
+                   h.doc_id IS NOT NULL AS contaminated,
+                   CAST(coalesce(h.n_matched_grams, 0) AS BIGINT) AS n_matched_grams
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "pack_sequences": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                               ELSE len(string_split_regex(trim(text), '\s+'))
+                          END AS BIGINT) AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS start_tok,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // 2048 AS BIGINT) AS seq_no
+            FROM n
+        """,
+        "unigram_logprob": r"""
+            WITH words AS (
+              SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+              FROM documents WHERE trim(text) != ''
+            ),
+            vocab AS (SELECT word, COUNT(*) AS c FROM words GROUP BY word),
+            tot AS (SELECT SUM(c) AS n_total, COUNT(*) AS v FROM vocab),
+            per_doc AS (
+              SELECT w.doc_id, COUNT(*) AS n_words,
+                     SUM(CAST(round(-ln((vocab.c + 1) / (tot.n_total + tot.v)) * 1e6)
+                              AS BIGINT)) AS surprisal_micronats
+              FROM words w JOIN vocab USING (word) CROSS JOIN tot
+              GROUP BY w.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(coalesce(p.surprisal_micronats, 0) AS BIGINT) AS surprisal_micronats
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
         "topk_cosine": """
             SELECT vec_id FROM embeddings
             ORDER BY list_cosine_similarity(

@@ -42,6 +42,10 @@ BENCH_QUERIES = [
     "corpus_filter_audit",
     "corpus_filter_near",
     "audio_meta",
+    "sample_deterministic",
+    "decontaminate",
+    "pack_sequences",
+    "unigram_logprob",
     "dedup_pipeline",
 ]
 

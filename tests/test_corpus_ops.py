@@ -1,0 +1,145 @@
+"""Corpus-construction ops (ocr_spark/operators/corpus_ops.py): sampling,
+decontamination, sequence packing, unigram-LM surprisal.  The driver oracle
+rows (sample_deterministic / decontaminate / pack_sequences /
+unigram_logprob) carry the cross-engine equality; these tests pin the
+SEMANTICS on handpicked inputs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.corpus_ops import (
+    decontaminate,
+    deterministic_sample,
+    pack_sequences,
+    sample_bucket,
+    unigram_logprob,
+)
+
+
+def test_deterministic_sample_is_content_keyed(spark):
+    """The sample must be a function of CONTENT only: reshuffling ids or
+    partitioning selects the same documents; rates are ~proportional."""
+    rows = [(i, f"document number {i} with some words") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["text"] for r in deterministic_sample(df, keep_pct=25).collect()}
+    # re-keyed + reordered + repartitioned copy selects the SAME texts
+    df2 = (
+        spark.createDataFrame([(i + 1000, t) for i, t in reversed(rows)],
+                              "doc_id long, text string")
+        .repartition(7)
+    )
+    kept2 = {r["text"] for r in deterministic_sample(df2, keep_pct=25).collect()}
+    assert kept == kept2
+    assert 0.15 < len(kept) / 400 < 0.35  # md5 buckets ~uniform
+    # buckets partition the corpus: pct=100 keeps everything
+    assert deterministic_sample(df, keep_pct=100).count() == 400
+
+
+def test_sample_bucket_range(spark):
+    df = spark.createDataFrame([(f"t{i}",) for i in range(200)], "text string")
+    rng = df.select(F.min(sample_bucket(F.col("text"))).alias("lo"),
+                    F.max(sample_bucket(F.col("text"))).alias("hi")).first()
+    assert 0 <= rng["lo"] and rng["hi"] <= 99
+
+
+def test_decontaminate_flags_overlap(spark):
+    bench_text = " ".join(f"w{i}" for i in range(20))
+    corpus = spark.createDataFrame(
+        [
+            (1, bench_text),                                   # exact copy
+            (2, "prefix " + " ".join(f"w{i}" for i in range(13))),  # shares one 13-gram
+            (3, " ".join(f"z{i}" for i in range(30))),         # disjoint
+            (4, ""),                                           # empty
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["contaminated"], r["n_matched_grams"])
+        for r in decontaminate(corpus, bench, n=13).collect()
+    }
+    assert got[1] == (True, 8)   # 20 - 13 + 1 shared 13-grams
+    assert got[2] == (True, 1)
+    assert got[3] == (False, 0)
+    assert got[4] == (False, 0)
+
+
+def test_pack_sequences_offsets_and_bins(spark):
+    rows = [(i, " ".join(["tok"] * n)) for i, n in enumerate([5, 7, 3, 0, 10, 2])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_tok"], r["seq_no"])
+        for r in pack_sequences(df, token_budget=8).collect()
+    }
+    # cumulative starts: 0, 5, 12, 15, 15, 25 (empty doc consumes 0)
+    assert got == {
+        0: (5, 0, 0), 1: (7, 5, 0), 2: (3, 12, 1),
+        3: (0, 15, 1), 4: (10, 15, 1), 5: (2, 25, 3),
+    }
+
+
+def test_pack_sequences_chunked_prefix_sum_matches_global(spark):
+    """The two-level prefix sum (chunk subtotals + within-chunk window)
+    must equal a plain global cumsum — with ids spanning many chunks."""
+    import random
+
+    rnd = random.Random(5)
+    rows = [(i * 997, " ".join(["x"] * rnd.randint(0, 20))) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["start_tok"]
+        for r in pack_sequences(df, token_budget=64, chunk=512).collect()
+    }
+    acc = 0
+    for i, text in sorted(rows):
+        assert got[i] == acc, i
+        acc += len(text.split())
+
+
+def test_unigram_logprob_matches_hand_model(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")], "doc_id long, text string"
+    )
+    # corpus: a:2 b:2 c:1 -> n_total=5, v=3
+    def mn(c):
+        return round(-math.log((c + 1) / (5 + 3)) * 1e6)
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["surprisal_micronats"])
+        for r in unigram_logprob(df).collect()
+    }
+    assert got[1] == (3, 2 * mn(2) + mn(2))
+    assert got[2] == (2, mn(2) + mn(1))
+    assert got[3] == (0, 0)
+    # junk (rare words) scores HIGHER surprisal per token than common text
+    big = spark.createDataFrame(
+        [(i, "the common phrase repeats here") for i in range(20)]
+        + [(99, "zzyqx vrbnk qqpwm xxyzj lkjhg")],
+        "doc_id long, text string",
+    )
+    per_tok = {
+        r["doc_id"]: r["surprisal_micronats"] / max(r["n_words"], 1)
+        for r in unigram_logprob(big).collect()
+    }
+    assert per_tok[99] > per_tok[0]
+
+
+def test_pack_sequences_plan_has_no_global_window(spark):
+    """The big-side window must be PARTITIONED (parallel); only the tiny
+    chunk-totals relation may see an unpartitioned window."""
+    df = spark.createDataFrame(
+        [(i, "a b c") for i in range(100)], "doc_id long, text string"
+    )
+    plan = (
+        pack_sequences(df, token_budget=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly one single-partition exchange (the chunk-totals window), and
+    # a partitioned window over _chunk for the per-doc side
+    assert plan.count("SinglePartition") == 1
+    assert "partitionBy" not in plan or True  # textual form varies; key check:
+    assert "hashpartitioning(_chunk" in plan
