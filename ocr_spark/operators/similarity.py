@@ -147,3 +147,72 @@ def ivf_topk(
     reuse-the-index form)."""
     indexed, cents = build_ivf_index(df, n_lists, id_col, vec_col, sample_rows)
     return ivf_topk_indexed(indexed, cents, query, k, n_probe, id_col, vec_col)
+
+
+def materialize_ivf_index(
+    df: DataFrame,
+    table,
+    n_lists: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 512,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Build the IVF index ONCE and persist it: the assigned relation goes
+    to an icelite table **keyed on ``_list``** (so probes prune at the
+    FILE level — each posting list lands in its own bucket directory),
+    centroids ride in the snapshot metadata.  A later call with a
+    committed table reuses it without touching the vectors — the
+    build-once/probe-many shape a 10^9-vector ANN service needs.
+
+    Construct the table as ``IceliteTable(root, key_col="_list",
+    n_buckets=n_lists)``."""
+    spark = df.sparkSession
+    if table.exists() and table.row_count() > 0:
+        cents = next(
+            s.metadata["ivf_centroids"]
+            for s in reversed(table.snapshots())
+            if "ivf_centroids" in s.metadata
+        )
+        return table.read(spark), cents
+    indexed, cents = build_ivf_index(df, n_lists, id_col, vec_col, sample_rows)
+    table.append(
+        indexed,
+        metadata={"op": "ivf_index", "ivf_centroids": cents, "n_lists": n_lists},
+    )
+    return table.read(spark), cents
+
+
+def ivf_topk_table(
+    table,
+    centroids: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    spark=None,
+) -> DataFrame:
+    """Probe a MATERIALIZED IVF index with manifest-level file pruning:
+    only the buckets holding the ``n_probe`` nearest posting lists are
+    read (the file list shrinks before Spark lists anything; a residual
+    ``_list`` filter handles hash-collided buckets)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.sources.icelite import bucket_expr
+
+    if not centroids:
+        return cosine_topk(table.read(spark), query, k, id_col, vec_col)
+    qd = [
+        (sum((a - b) ** 2 for a, b in zip(query, c)), i)
+        for i, c in enumerate(centroids)
+    ]
+    probe = [i for _, i in sorted(qd)[:n_probe]]
+    buckets = [
+        r["b"]
+        for r in spark.createDataFrame([(l,) for l in probe], "_list int")
+        .select(bucket_expr("_list", table.n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    part = table.read(spark, buckets=buckets).filter(F.col("_list").isin(probe))
+    return cosine_topk(part, query, k, id_col, vec_col)

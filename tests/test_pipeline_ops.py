@@ -123,6 +123,44 @@ def test_ivf_topk_close_to_exact(spark, embeddings):
     assert len(set(exact) & set(approx)) >= 5
 
 
+def test_ivf_materialized_index_probe_prunes_files(spark, embeddings, tmp_path):
+    """materialize_ivf_index: build once into an icelite table keyed on
+    the posting list; probing reads only the probed lists' bucket files
+    (manifest pruning), matches the in-memory probe, and a second
+    materialize call reuses the committed table."""
+    from ocr_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        ivf_topk_table,
+        materialize_ivf_index,
+    )
+    from ocr_spark.sources.icelite import IceliteTable
+
+    tbl = IceliteTable(str(tmp_path / "ivf"), key_col="_list", n_buckets=8)
+    indexed, cents = materialize_ivf_index(embeddings, tbl, n_lists=8)
+    assert tbl.row_count() == embeddings.count()
+    head = tbl.head_id()
+    # reuse: no new snapshot, same centroids
+    _again, cents2 = materialize_ivf_index(embeddings, tbl, n_lists=8)
+    assert tbl.head_id() == head and cents2 == cents
+
+    q = [float(x) for x in embeddings.filter(F.col("vec_id") == 3).first()["embedding"]]
+    got = [
+        r["vec_id"]
+        for r in ivf_topk_table(tbl, cents, q, k=5, n_probe=2, spark=spark).collect()
+    ]
+    # equals the in-memory probe over an identically-built index
+    mem_indexed, _ = build_ivf_index(embeddings, n_lists=8)
+    want = [
+        r["vec_id"] for r in ivf_topk_indexed(mem_indexed, cents, q, k=5, n_probe=2).collect()
+    ]
+    assert got == want
+    # file-level pruning: the probed read touches a strict subset of files
+    probed_files = ivf_topk_table(tbl, cents, q, k=5, n_probe=2, spark=spark).inputFiles()
+    all_files = tbl.read(spark).inputFiles()
+    assert probed_files and len(set(probed_files)) < len(set(all_files))
+
+
 # ---------------------------------------------------------------------------
 # textstats
 # ---------------------------------------------------------------------------

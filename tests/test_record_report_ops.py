@@ -128,6 +128,64 @@ def test_stateful_host_stats_stream(spark, tiny_dir, tmp_path):
     assert got["e"] == want_err
 
 
+def test_streaming_dedup_first_arrival_wins(spark, tmp_path):
+    """dropDuplicatesWithinWatermark-backed streaming exact dedup: a
+    re-crawl of already-seen text inside the horizon is dropped EVEN
+    ACROSS RESTARTS (state lives in the checkpoint); fresh text passes.
+    The batch key (md5) matches exact_dedup's, so stream + batch agree on
+    identity."""
+    import datetime as dt
+
+    from ocr_spark.streaming.dedup_stream import dedup_stream
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    schema = "url string, warc_ts timestamp, text string"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(in_dir / name))
+
+    def drain():
+        got = []
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir / "*"))
+        )
+        q = (
+            dedup_stream(stream, ts_col="warc_ts", text_col="text", horizon="1 hour")
+            .writeStream.foreachBatch(
+                lambda df, _e: got.extend(
+                    (r["url"], r["text"]) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    write_batch("b1", [("u1", t0, "alpha text"), ("u2", t0, "beta text")])
+    first = drain()
+    assert sorted(first) == [("u1", "alpha text"), ("u2", "beta text")]
+
+    # restart with new files: a re-crawl of alpha (same text, new url,
+    # +5 min) must be dropped by checkpointed state; gamma passes
+    write_batch(
+        "b2",
+        [
+            ("u3", t0 + dt.timedelta(minutes=5), "alpha text"),
+            ("u4", t0 + dt.timedelta(minutes=5), "gamma text"),
+        ],
+    )
+    second = drain()
+    assert sorted(second) == [("u4", "gamma text")]
+
+
 def test_streaming_watermark_drops_late_events(spark, tmp_path):
     """Watermark semantics end-to-end: an event older than
     (max event time - delay) arriving in a LATER micro-batch is dropped
