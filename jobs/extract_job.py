@@ -66,13 +66,15 @@ def main(argv: list[str] | None = None) -> None:
     except Exception as e:  # noqa: BLE001 — operator-friendly CLI error
         print(f"error: cannot read --input {args.input!r}: {type(e).__name__}", file=sys.stderr)
         raise SystemExit(2) from None
-    table = IceliteTable(args.output, key_col="url", n_buckets=args.buckets)
-    pipe = ExtractionPipeline(
-        table, n_buckets=args.buckets, group_size=args.group_size, salt=args.salt
-    )
+    from ocr_spark.sources.icelite import IceliteError
+
     # sink error taxonomy -> distinct exit codes so an orchestrator can
-    # retry conflicts (3) but page a human on schema drift (4)
+    # retry conflicts (3) but page a human on schema/layout drift (4)
     try:
+        table = IceliteTable(args.output, key_col="url", n_buckets=args.buckets)
+        pipe = ExtractionPipeline(
+            table, n_buckets=args.buckets, group_size=args.group_size, salt=args.salt
+        )
         stats = pipe.run(pages, max_concurrent=args.max_concurrent, spark=spark)
     except SchemaMismatchError as e:
         print(f"error: schema rejected: {e}", file=sys.stderr)
@@ -80,6 +82,9 @@ def main(argv: list[str] | None = None) -> None:
     except CommitConflictError as e:
         print(f"error: commit conflict (retryable): {e}", file=sys.stderr)
         raise SystemExit(3) from None
+    except IceliteError as e:
+        print(f"error: table layout rejected: {e}", file=sys.stderr)
+        raise SystemExit(4) from None
     print(json.dumps({"job": "extract", "output": args.output, **stats}))
     return stats
 

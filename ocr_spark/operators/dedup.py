@@ -113,9 +113,28 @@ def materialize_minhash_signatures(
     ``doc_id``."""
     spark = df.sparkSession
     if table.exists() and table.row_count() > 0:
+        # reuse only a table built with the SAME parameters — 64-wide
+        # signatures served to a 128-perm caller would verify est_jaccard
+        # against the wrong denominator with no error
+        stored = next(
+            (
+                {"num_perm": s.metadata["num_perm"], "bands": s.metadata["bands"]}
+                for s in table.snapshots()
+                if s.metadata.get("op") == "minhash_signatures"
+            ),
+            None,
+        )
+        want = {"num_perm": num_perm, "bands": bands}
+        if stored != want:
+            raise ValueError(
+                f"signature table {table.root} was built with {stored}, "
+                f"requested {want} — drop the table to rebuild"
+            )
         return table.read(spark)
     sigs = minhash_signatures(df, id_col, text_col, num_perm, bands)
     table.append(sigs, metadata={"op": "minhash_signatures", "num_perm": num_perm, "bands": bands})
+    if table.row_count() == 0:  # empty input: nothing landed, nothing to read
+        return sigs
     return table.read(spark)
 
 

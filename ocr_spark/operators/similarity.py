@@ -169,10 +169,23 @@ def materialize_ivf_index(
     spark = df.sparkSession
     if table.exists() and table.row_count() > 0:
         cents = next(
-            s.metadata["ivf_centroids"]
-            for s in reversed(table.snapshots())
-            if "ivf_centroids" in s.metadata
+            (
+                s.metadata["ivf_centroids"]
+                for s in reversed(table.snapshots())
+                if "ivf_centroids" in s.metadata
+            ),
+            None,
         )
+        if cents is None:
+            raise ValueError(
+                f"table {table.root} has data but no ivf_centroids metadata "
+                "— it was not written by materialize_ivf_index; drop it to rebuild"
+            )
+        if len(cents) != n_lists:
+            raise ValueError(
+                f"index at {table.root} has {len(cents)} lists, requested "
+                f"{n_lists} — drop the table to rebuild"
+            )
         return table.read(spark), cents
     indexed, cents = build_ivf_index(df, n_lists, id_col, vec_col, sample_rows)
     table.append(
@@ -196,10 +209,14 @@ def ivf_topk_table(
     only the buckets holding the ``n_probe`` nearest posting lists are
     read (the file list shrinks before Spark lists anything; a residual
     ``_list`` filter handles hash-collided buckets)."""
+    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     from ocr_spark.sources.icelite import bucket_expr
 
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError("no active SparkSession — pass spark=")
     if not centroids:
         return cosine_topk(table.read(spark), query, k, id_col, vec_col)
     qd = [

@@ -116,6 +116,33 @@ class IceliteTable:
         import threading
 
         self._lock = threading.Lock()
+        # layout validation: the first write freezes (key_col, n_buckets) in
+        # _table.json; opening an existing table with a DIFFERENT layout is
+        # an error, not a silent misread — e.g. a 32-bucket table opened as
+        # 16 buckets would make bucket-pruned reads (resume, IVF probes)
+        # silently miss half the manifest keys
+        self._validate_table_meta(record=False)
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "_table.json")
+
+    def _validate_table_meta(self, record: bool) -> None:
+        want = {"key_col": self.key_col, "n_buckets": self.n_buckets}
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                stored = json.load(f)
+            if stored != want:
+                raise IceliteError(
+                    f"icelite table at {self.root} was laid out with {stored} "
+                    f"but opened with {want} — bucket ids would not align"
+                )
+        elif record:
+            os.makedirs(self.root, exist_ok=True)
+            tmp = self._meta_path + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(want, f, indent=1, sort_keys=True)
+            os.replace(tmp, self._meta_path)
 
     # ------------------------------------------------------------------ paths
     @property
@@ -212,6 +239,7 @@ class IceliteTable:
         schema (names + types, nullability/order-insensitive); every later
         append/merge batch is validated against it and rejected with a
         typed error BEFORE any file is written."""
+        self._validate_table_meta(record=True)
         incoming = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         stored = self.table_schema()
         if stored is None:
@@ -238,6 +266,7 @@ class IceliteTable:
     def create_empty(self, metadata: dict | None = None) -> None:
         if self.exists():
             return
+        self._validate_table_meta(record=True)
         os.makedirs(self.root, exist_ok=True)
         self._commit(
             Snapshot(0, None, "create", {}, {}, metadata or {"key": self.key_col, "n_buckets": self.n_buckets})

@@ -141,5 +141,4 @@ def test_pack_sequences_plan_has_no_global_window(spark):
     # exactly one single-partition exchange (the chunk-totals window), and
     # a partitioned window over _chunk for the per-doc side
     assert plan.count("SinglePartition") == 1
-    assert "partitionBy" not in plan or True  # textual form varies; key check:
     assert "hashpartitioning(_chunk" in plan

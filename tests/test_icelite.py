@@ -253,3 +253,20 @@ def test_maintenance_cli(spark, tmp_table, capsys):
     with pytest.raises(SystemExit) as e:
         main(["--table", "/tmp/definitely-missing-tbl"])
     assert e.value.code == 2
+
+
+def test_layout_mismatch_rejected(spark, tmp_table):
+    """The first write freezes (key_col, n_buckets) in _table.json; opening
+    the table with a different layout raises instead of silently misreading
+    bucket-pruned scans (a 4-bucket table opened as 16 buckets would make a
+    resume's manifest lookups miss most bucket keys — data loss, no error)."""
+    from ocr_spark.sources.icelite import IceliteError
+
+    tmp_table.append(_df(spark, [("u1", 1), ("u2", 2)]))
+    # same layout reopens fine
+    again = IceliteTable(tmp_table.root, key_col="url", n_buckets=4)
+    assert again.row_count() == 2
+    with pytest.raises(IceliteError, match="laid out with"):
+        IceliteTable(tmp_table.root, key_col="url", n_buckets=16)
+    with pytest.raises(IceliteError, match="laid out with"):
+        IceliteTable(tmp_table.root, key_col="doc_id", n_buckets=4)

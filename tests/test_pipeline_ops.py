@@ -345,6 +345,9 @@ def test_dedup_pipeline_materialized_signatures(spark, tmp_path):
     }
     assert got2 == got
     assert tbl.head_id() == head_after_first  # restart reused, no recompute
+
+
+def test_corpus_filter(spark):
     from ocr_spark.operators.corpus_filter import corpus_filter
 
     en = "the cat is on the mat and it is a warm day for everyone in the house today"
