@@ -35,10 +35,13 @@ BENCH_QUERIES = [
     "topk_cosine",
     "topk_cosine_ivf",
     "embedding_dups",
+    "ngram_jaccard",
     "agg_pricing",
     "join_topk_per_group",
     "sessionize",
+    "asof_join",
     "broadcast_join_agg",
+    "url_canonicalize",
     "corpus_filter_audit",
     "corpus_filter_near",
     "audio_meta",

@@ -1,0 +1,117 @@
+"""The corpus-cleaning job — the dedup/quality counterpart of
+jobs/extract_job.py, production-shaped for a cluster launch:
+
+    spark-submit --py-files dist/ocr_spark.zip jobs/dedup_job.py \
+        --input <documents parquet> --output <icelite root for kept docs> \
+        [--audit <icelite root for the per-doc audit>] \
+        [--signatures <icelite root for reusable minhash signatures>] \
+        [--near-dedup] [--near-threshold 0.8] [--langs en,fr] \
+        [--min-chars 50] [--min-gopher-stopwords 0]
+
+Runs ``corpus_filter`` (rule battery -> optional language filter -> exact
+dedup -> optional MinHash-LSH near-dedup) and commits BOTH the kept corpus
+and the full audit (one row per input doc with its fate — a pipeline that
+silently drops data is undebuggable at 10^12 rows).  ``--signatures``
+materializes the survivor signature relation to a table so a rerun/restart
+re-hashes nothing (memory-bounded at 100 TB; see
+materialize_minhash_signatures).  Exit codes mirror extract_job: 2 bad
+input, 3 retryable commit conflict, 4 schema/layout rejection.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> dict:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="documents parquet path")
+    p.add_argument("--output", required=True, help="icelite root for kept docs")
+    p.add_argument("--audit", default=None, help="icelite root for the audit table")
+    p.add_argument("--signatures", default=None, help="icelite root for minhash signatures")
+    p.add_argument("--near-dedup", action="store_true")
+    p.add_argument("--near-threshold", type=float, default=0.8)
+    p.add_argument("--langs", default=None, help="comma-separated language allowlist")
+    p.add_argument("--min-chars", type=int, default=None)
+    p.add_argument("--min-gopher-stopwords", type=int, default=None)
+    p.add_argument("--buckets", type=int, default=16)
+    p.add_argument("--cores", type=int, default=None, help="local mode only")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from ocr_spark.operators.corpus_filter import corpus_filter
+    from ocr_spark.session import build_session
+    from ocr_spark.sources.icelite import (
+        CommitConflictError,
+        IceliteError,
+        IceliteTable,
+        SchemaMismatchError,
+    )
+
+    spark = SparkSession.getActiveSession() or build_session(
+        "dedup-job", cores=args.cores
+    )
+    try:
+        docs = spark.read.parquet(args.input)
+    except Exception:  # noqa: BLE001 — operator-friendly CLI error
+        print(f"error: cannot read --input {args.input!r}", file=sys.stderr)
+        raise SystemExit(2) from None
+
+    rules = {}
+    if args.min_chars is not None:
+        rules["min_chars"] = args.min_chars
+    if args.min_gopher_stopwords is not None:
+        rules["min_gopher_stopwords"] = args.min_gopher_stopwords
+
+    try:
+        sig_tbl = (
+            IceliteTable(args.signatures, key_col="doc_id", n_buckets=args.buckets)
+            if args.signatures and args.near_dedup
+            else None
+        )
+        kept, audit = corpus_filter(
+            docs,
+            langs=args.langs.split(",") if args.langs else None,
+            rules=rules or None,
+            near_dedup=args.near_dedup,
+            near_threshold=args.near_threshold,
+            signatures_table=sig_tbl,
+        )
+        out = IceliteTable(args.output, key_col="doc_id", n_buckets=args.buckets)
+        out.merge(kept, metadata={"op": "corpus_filter", "near_dedup": args.near_dedup})
+        stats = {
+            "job": "dedup",
+            "output": args.output,
+            "docs_in": docs.count(),
+            "docs_kept": out.row_count(),
+        }
+        if args.audit:
+            from pyspark.sql import functions as F
+
+            audit_tbl = IceliteTable(args.audit, key_col="doc_id", n_buckets=args.buckets)
+            audit_tbl.merge(audit, metadata={"op": "corpus_filter_audit"})
+            stats["audit"] = args.audit
+            stats["reasons"] = {
+                r["reason"]: r["n"]
+                for r in audit.groupBy("reason")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+    except SchemaMismatchError as e:
+        print(f"error: schema rejected: {e}", file=sys.stderr)
+        raise SystemExit(4) from None
+    except CommitConflictError as e:
+        print(f"error: commit conflict (retryable): {e}", file=sys.stderr)
+        raise SystemExit(3) from None
+    except IceliteError as e:
+        print(f"error: table layout rejected: {e}", file=sys.stderr)
+        raise SystemExit(4) from None
+    print(json.dumps(stats))
+    return stats
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -50,9 +50,17 @@ def corpus_filter(
     rules: dict | None = None,
     near_dedup: bool = False,
     near_threshold: float = 0.8,
+    signatures_table=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (kept, audit).  audit: (id, keep boolean, reason string) —
-    reason is the FIRST failing stage, 'kept' otherwise."""
+    reason is the FIRST failing stage, 'kept' otherwise.
+
+    ``signatures_table`` (an ``IceliteTable``, with ``near_dedup=True``)
+    materializes the candidates' minhash signatures to storage — the
+    signatures are computed over EXACTLY the rule-passing exact-dedup
+    survivors (a superset/subset table would let foreign doc ids into the
+    clustering and silently drop whole clusters), so the table is owned by
+    this pipeline run; a restarted run reuses the committed relation."""
     r = {**DEFAULT_RULES, **(rules or {})}
     q = with_gopher_quality(with_quality(df, text_col), text_col)
     n_chars = F.length(F.col(text_col))
@@ -98,7 +106,16 @@ def corpus_filter(
     kept_ids = candidates.join(survivors, id_col, "left_semi")
 
     if near_dedup:
-        pairs = minhash_dup_pairs(kept_ids, id_col, text_col, threshold=near_threshold)
+        sigs = None
+        if signatures_table is not None:
+            from ocr_spark.operators.dedup import materialize_minhash_signatures
+
+            sigs = materialize_minhash_signatures(
+                kept_ids, signatures_table, id_col, text_col
+            )
+        pairs = minhash_dup_pairs(
+            kept_ids, id_col, text_col, threshold=near_threshold, signatures=sigs
+        )
         clusters = near_dup_clusters(
             kept_ids.select(F.col(id_col).alias("doc_id")), pairs
         )

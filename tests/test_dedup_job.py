@@ -1,0 +1,50 @@
+"""jobs/dedup_job.py — the corpus-cleaning CLI: kept + audit + signature
+tables, idempotent reruns, exit codes."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_spark.sources.icelite import IceliteTable
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedup_job_end_to_end(spark, tmp_path):
+    from jobs.dedup_job import main
+
+    out = str(tmp_path / "kept")
+    audit = str(tmp_path / "audit")
+    sigs = str(tmp_path / "sigs")
+    args = [
+        "--input", f"{SF}/documents.parquet",
+        "--output", out, "--audit", audit, "--signatures", sigs,
+        "--near-dedup", "--near-threshold", "0.8",
+        "--min-chars", "60", "--min-gopher-stopwords", "2",
+        "--buckets", "4",
+    ]
+    stats = main(args)
+    assert stats["docs_kept"] == IceliteTable(out, "doc_id", 4).row_count()
+    assert 0 < stats["docs_kept"] < stats["docs_in"]
+    # every input doc has an audited fate; reasons partition the corpus
+    assert sum(stats["reasons"].values()) == stats["docs_in"]
+    assert stats["reasons"].get("kept") == stats["docs_kept"]
+    assert IceliteTable(audit, "doc_id", 4).row_count() == stats["docs_in"]
+    # the signature table committed (rule-passing exact survivors only)
+    sig_tbl = IceliteTable(sigs, "doc_id", 4)
+    assert 0 < sig_tbl.row_count() <= stats["docs_in"]
+    sig_head = sig_tbl.head_id()
+
+    # rerun: merge idempotency (same rows) + signature table reused
+    stats2 = main(args)
+    assert stats2["docs_kept"] == stats["docs_kept"]
+    assert IceliteTable(out, "doc_id", 4).row_count() == stats["docs_kept"]
+    assert sig_tbl.head_id() == sig_head  # no re-hash on restart
+
+
+def test_dedup_job_bad_input_exit_2(spark, tmp_path):
+    from jobs.dedup_job import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["--input", "/nonexistent/nope.parquet", "--output", str(tmp_path / "o")])
+    assert e.value.code == 2
