@@ -57,19 +57,23 @@ def deterministic_sample(
 def _distinct_ngrams(df: DataFrame, id_col: str, text_col: str, n: int):
     """(id, gram) pairs: distinct word n-grams per doc; texts shorter than
     n words contribute their full text as one gram (matching
-    ngram_jaccard's convention)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.when(
-        F.length(F.trim(F.col(text_col))) == 0, F.array()
-    ).otherwise(
+    ngram_jaccard's convention).  The words array is BOUND to a column
+    before the transform lambda — inlining the split() would re-split the
+    text once per gram element (11x, see ngram_jaccard_pairs)."""
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
+        (F.length(F.trim(F.col(text_col))) == 0).alias("_empty"),
+    )
+    grams = F.when(F.col("_empty"), F.array()).otherwise(
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                F.sequence(F.lit(0), F.greatest(F.size("_w") - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, n)),
             )
         )
     )
-    return df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("gram"))
+    return words.select("_id", F.explode(grams).alias("gram"))
 
 
 def decontaminate(
