@@ -34,6 +34,11 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--near-dedup", action="store_true")
     p.add_argument("--near-threshold", type=float, default=0.8)
     p.add_argument("--langs", default=None, help="comma-separated language allowlist")
+    p.add_argument(
+        "--benchmark", default=None,
+        help="eval-set parquet: docs sharing a 13-gram with it are dropped "
+        "('contaminated' in the audit)",
+    )
     p.add_argument("--min-chars", type=int, default=None)
     p.add_argument("--min-gopher-stopwords", type=int, default=None)
     p.add_argument("--buckets", type=int, default=16)
@@ -79,6 +84,7 @@ def main(argv: list[str] | None = None) -> dict:
             near_dedup=args.near_dedup,
             near_threshold=args.near_threshold,
             signatures_table=sig_tbl,
+            benchmark=spark.read.parquet(args.benchmark) if args.benchmark else None,
         )
         out = IceliteTable(args.output, key_col="doc_id", n_buckets=args.buckets)
         out.merge(kept, metadata={"op": "corpus_filter", "near_dedup": args.near_dedup})

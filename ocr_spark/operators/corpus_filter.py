@@ -51,16 +51,25 @@ def corpus_filter(
     near_dedup: bool = False,
     near_threshold: float = 0.8,
     signatures_table=None,
+    benchmark: DataFrame | None = None,
+    decont_n: int = 13,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (kept, audit).  audit: (id, keep boolean, reason string) —
-    reason is the FIRST failing stage, 'kept' otherwise.
+    reason is the FIRST failing stage, 'kept' otherwise.  Stage order:
+    rules -> language -> benchmark decontamination -> exact dedup -> near
+    dedup.
 
     ``signatures_table`` (an ``IceliteTable``, with ``near_dedup=True``)
     materializes the candidates' minhash signatures to storage — the
     signatures are computed over EXACTLY the rule-passing exact-dedup
     survivors (a superset/subset table would let foreign doc ids into the
     clustering and silently drop whole clusters), so the table is owned by
-    this pipeline run; a restarted run reuses the committed relation."""
+    this pipeline run; a restarted run reuses the committed relation.
+
+    ``benchmark``: an eval-set DataFrame (same id/text columns) — docs
+    sharing a word ``decont_n``-gram with it are dropped with reason
+    'contaminated' (GPT-3-style test-set decontamination; the benchmark
+    gram set broadcasts, see corpus_ops.decontaminate)."""
     r = {**DEFAULT_RULES, **(rules or {})}
     q = with_gopher_quality(with_quality(df, text_col), text_col)
     n_chars = F.length(F.col(text_col))
@@ -99,8 +108,22 @@ def corpus_filter(
     # it measured 2x SLOWER at sf0.1 (13.4 s vs 6.8 s) — the cache barrier
     # defeats per-branch column pruning and the rule regexes are cheaper to
     # recompute than the cached rows are to serve
+    if benchmark is not None:
+        from ocr_spark.operators.corpus_ops import decontaminate
+
+        cont = decontaminate(df, benchmark, id_col, text_col, n=decont_n).select(
+            F.col(id_col).alias("_cont_id"), F.col("contaminated").alias("_cont_fail")
+        )
+        staged = staged.join(
+            cont, staged[id_col] == F.col("_cont_id"), "left"
+        ).drop("_cont_id").withColumn(
+            "_cont_fail", F.coalesce("_cont_fail", F.lit(False))
+        )
+    else:
+        staged = staged.withColumn("_cont_fail", F.lit(False))
+
     candidates = staged.filter(
-        F.col("_rule_fail").isNull() & ~F.col("_lang_fail")
+        F.col("_rule_fail").isNull() & ~F.col("_lang_fail") & ~F.col("_cont_fail")
     )
     survivors = exact_dedup(candidates, id_col, text_col).select(id_col)
     kept_ids = candidates.join(survivors, id_col, "left_semi")
@@ -140,6 +163,7 @@ def corpus_filter(
                 F.when(F.col("_kept_id").isNotNull(), F.lit("kept")),
                 F.col("_rule_fail"),
                 F.when(F.col("_lang_fail"), F.lit("lang")),
+                F.when(F.col("_cont_fail"), F.lit("contaminated")),
                 F.lit("duplicate"),
             ).alias("reason"),
         )

@@ -128,6 +128,27 @@ def test_unigram_logprob_matches_hand_model(spark):
     assert per_tok[99] > per_tok[0]
 
 
+def test_corpus_filter_decontamination_stage(spark):
+    """benchmark= drops contaminated docs with their own audit reason; the
+    first-failing-stage ordering puts rules before contamination."""
+    from ocr_spark.operators.corpus_filter import corpus_filter
+
+    bench_text = " ".join(f"w{i}" for i in range(20)) + " the cat is on the mat and all is well today with everyone here"
+    clean = "the dog sits by the door and waits for the mail to arrive every single morning again"
+    rows = [
+        (1, clean),            # kept
+        (2, bench_text),       # contaminated (shares 13-grams with benchmark)
+        (3, "x"),              # too_short (rules fire before decontamination)
+        (4, clean),            # exact duplicate of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    kept, audit = corpus_filter(df, rules={"min_chars": 10}, benchmark=bench)
+    fates = {r["doc_id"]: r["reason"] for r in audit.collect()}
+    assert fates == {1: "kept", 2: "contaminated", 3: "too_short", 4: "duplicate"}
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1]
+
+
 def test_pack_sequences_plan_has_no_global_window(spark):
     """The big-side window must be PARTITIONED (parallel); only the tiny
     chunk-totals relation may see an unpartitioned window."""
