@@ -103,8 +103,11 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_matched_grams"))
     )
     ids = corpus.select(F.col(id_col))
+    # hits is bounded by the CONTAMINATED doc count (tiny against a clean
+    # corpus) — broadcast it so the per-doc left join never shuffles the
+    # corpus-sized id relation either
     return (
-        ids.join(hits, ids[id_col] == hits._id, "left")
+        ids.join(F.broadcast(hits), ids[id_col] == hits._id, "left")
         .select(
             id_col,
             F.col("n_matched_grams").isNotNull().alias("contaminated"),

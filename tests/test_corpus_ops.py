@@ -128,6 +128,25 @@ def test_unigram_logprob_matches_hand_model(spark):
     assert per_tok[99] > per_tok[0]
 
 
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    """The benchmark gram set must broadcast — the corpus side of the
+    contamination join may never shuffle (at 100 TB the corpus is the big
+    side; a sort-merge join here would shuffle every corpus gram)."""
+    corpus = spark.createDataFrame(
+        [(i, "some words repeated here " * 4) for i in range(50)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(0, "eval set text")], "doc_id long, text string")
+    plan = (
+        decontaminate(corpus, bench, n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # the only exchanges allowed touch the benchmark/aggregation side, not
+    # a corpus-gram sort-merge join
+    assert "SortMergeJoin" not in plan
+
+
 def test_corpus_filter_decontamination_stage(spark):
     """benchmark= drops contaminated docs with their own audit reason; the
     first-failing-stage ordering puts rules before contamination."""
