@@ -364,6 +364,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce(F.col("meta.error"), F.lit("")).alias("error"),
         )
 
+    def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Real video-container modality: ISO-BMFF box walk (ftyp brand,
+        moov/mvhd timescale+duration) — golden derives from generator
+        parameters, independent of the parser."""
+        from ocr_spark.operators.multimodal import decode_videos
+
+        media = spark.read.parquet(f"{fix}/video.parquet")
+        m = decode_videos(media)
+        return m.select(
+            "media_id",
+            F.col("meta.major_brand").alias("major_brand"),
+            F.col("meta.timescale").alias("timescale"),
+            F.col("meta.duration_units").alias("duration_units"),
+            F.col("meta.duration_s").alias("duration_s"),
+            F.col("meta.sha256").alias("sha256"),
+            F.coalesce(F.col("meta.error"), F.lit("")).alias("error"),
+        )
+
     # -- corpus construction ops ------------------------------------------
     def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ocr_spark.operators.corpus_ops import deterministic_sample
@@ -550,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter_audit": q_corpus_filter_audit,
         "corpus_filter_near": q_corpus_filter_near,
         "audio_meta": q_audio_meta,
+        "video_meta": q_video_meta,
         "sample_deterministic": q_sample_deterministic,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
@@ -879,6 +898,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, n_channels, sample_rate, bits_per_sample,
                    n_frames, duration_s, sha256, coalesce(error, '') AS error
             FROM '{fix}/golden_audio.parquet'
+        """,
+        "video_meta": f"""
+            SELECT media_id, major_brand, timescale, duration_units,
+                   duration_s, sha256, coalesce(error, '') AS error
+            FROM '{fix}/golden_video.parquet'
         """,
         "corpus_filter_audit": f"""
             WITH m AS ({_CF_RULES_SQL}),

@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "corpus_filter_audit",
     "corpus_filter_near",
     "audio_meta",
+    "video_meta",
     "sample_deterministic",
     "decontaminate",
     "pack_sequences",

@@ -62,16 +62,16 @@ def join_blocks(blocks: list[str]) -> tuple[str, list[tuple[str, int, int]]]:
     return "\n".join(normed), spans
 
 SEED = 42
-FORMAT_VERSION = 18  # bump to force regeneration everywhere (v18: WAV audio fixtures)
+FORMAT_VERSION = 20  # bump to force regeneration everywhere (v20: MP4 goldens keep parsed brand)
 
 # bench is sized so the extraction stage runs for seconds, not hundreds of
 # milliseconds, at local[32] — otherwise the ~0.3 s fixed job floor (task
 # scheduling, result collection) dominates and the N-vs-4N scaling
 # comparison measures overhead, not the operator.
 TIERS = {
-    "tiny": {"pages": 100, "glyph_docs": 20, "attendance": 50, "warc_files": 4, "audio": 40},
-    "small": {"pages": 1000, "glyph_docs": 200, "attendance": 400, "warc_files": 8, "audio": 200},
-    "bench": {"pages": 160000, "glyph_docs": 8000, "attendance": 0, "warc_files": 0, "audio": 0},
+    "tiny": {"pages": 100, "glyph_docs": 20, "attendance": 50, "warc_files": 4, "audio": 40, "video": 40},
+    "small": {"pages": 1000, "glyph_docs": 200, "attendance": 400, "warc_files": 8, "audio": 200, "video": 200},
+    "bench": {"pages": 160000, "glyph_docs": 8000, "attendance": 0, "warc_files": 0, "audio": 0, "video": 0},
 }
 
 EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
@@ -529,6 +529,8 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
         expected += ["warc"]
     if cfg.get("audio"):
         expected += ["audio.parquet", "golden_audio.parquet"]
+    if cfg.get("video"):
+        expected += ["video.parquet", "golden_video.parquet"]
     if os.path.exists(man_path):
         with open(man_path) as f:
             # a matching manifest only counts if the tables it promises are
@@ -775,6 +777,42 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
             ),
         )
 
+    # ---- video (ISO-BMFF binary column + parameter-derived golden) ------
+    if cfg.get("video"):
+        rng = random.Random(f"{seed}-video-{tier}")
+        payloads, goldens = [], []
+        for mid in range(cfg["video"]):
+            p, g = gen_video_doc(rng, mid)
+            payloads.append(p)
+            goldens.append(g)
+        _write(
+            os.path.join(out_dir, "video.parquet"),
+            pa.table(
+                {
+                    "media_id": pa.array([g["media_id"] for g in goldens], pa.int64()),
+                    "kind": ["video"] * len(goldens),
+                    "payload": pa.array(payloads, pa.binary()),
+                    "content_type": ["video/mp4"] * len(goldens),
+                }
+            ),
+        )
+        _write(
+            os.path.join(out_dir, "golden_video.parquet"),
+            pa.table(
+                {
+                    "media_id": pa.array([g["media_id"] for g in goldens], pa.int64()),
+                    "major_brand": [g["major_brand"] for g in goldens],
+                    "timescale": pa.array([g["timescale"] for g in goldens], pa.int64()),
+                    "duration_units": pa.array(
+                        [g["duration_units"] for g in goldens], pa.int64()
+                    ),
+                    "duration_s": pa.array([g["duration_s"] for g in goldens], pa.float64()),
+                    "sha256": [g["sha256"] for g in goldens],
+                    "error": [g["error"] for g in goldens],
+                }
+            ),
+        )
+
     with open(man_path, "w") as f:
         json.dump(manifest, f)
     return manifest
@@ -853,6 +891,86 @@ def gen_audio_doc(rng: random.Random, media_id: int) -> tuple[bytes | None, dict
         return payload, z
     base["sha256"] = hashlib.sha256(payload).hexdigest()
     return payload, base
+
+
+# ---------------------------------------------------------------------------
+# video fixtures — minimal ISO-BMFF (MP4) files built box-by-box from
+# PARAMETERS; the kernel (multimodal._mp4_decode) walks the box tree
+# independently.  Goldens derive from the parameters, never from parsing.
+# ---------------------------------------------------------------------------
+def _box(btype: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mvhd(version: int, timescale: int, duration: int) -> bytes:
+    import struct
+
+    if version == 0:
+        body = struct.pack(">BxxxIIII", 0, 0, 0, timescale, duration)
+    else:
+        body = struct.pack(">BxxxQQIQ", 1, 0, 0, timescale, duration)
+    # rate, volume+reserved, matrix, predefined, next_track_id (inert tail)
+    body += struct.pack(">IHH", 0x00010000, 0x0100, 0) + b"\0" * 8
+    body += struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    body += b"\0" * 24 + struct.pack(">I", 2)
+    return _box(b"mvhd", body)
+
+
+def gen_video_doc(rng: random.Random, media_id: int) -> tuple[bytes | None, dict]:
+    """Returns (payload, golden-metadata dict): ~70% well-formed minimal
+    MP4s (ftyp + moov/mvhd + mdat, mvhd v0 or v1); the rest exercise the
+    error taxonomy."""
+    import hashlib
+
+    def zeros(err: str, sha: str = "") -> dict:
+        return {
+            "media_id": media_id, "major_brand": "", "timescale": 0,
+            "duration_units": 0, "duration_s": 0.0, "sha256": sha, "error": err,
+        }
+
+    roll = rng.random()
+    if roll < 0.06:
+        return (None if roll < 0.03 else b""), zeros("EMPTY_INPUT")
+    if roll < 0.12:
+        junk = b"XXXX" + bytes(rng.getrandbits(8) for _ in range(rng.randint(8, 64)))
+        return junk, zeros("NOT_MP4", hashlib.sha256(junk).hexdigest())
+
+    timescale = rng.choice((600, 1000, 90000))
+    duration = rng.randint(1, 10 * timescale)  # up to ~10 s
+    version = rng.choice((0, 1))
+    ftyp = _box(b"ftyp", b"isom" + b"\0\0\0\1" + b"mp42")
+    mdat = _box(b"mdat", bytes(rng.getrandbits(8) for _ in range(rng.randint(16, 256))))
+    free = _box(b"free", b"\0" * rng.randint(0, 16))  # skipped boxes exist
+    # past this point ftyp parses, so the brand is reported even when a
+    # LATER stage fails (the parser keeps everything it validly read)
+    if roll < 0.18:  # moov entirely absent
+        payload = ftyp + free + mdat
+        z = zeros("NO_MOOV")
+        z.update(major_brand="isom", sha256=hashlib.sha256(payload).hexdigest())
+        return payload, z
+    if roll < 0.24:  # moov present but carries no mvhd
+        payload = ftyp + _box(b"moov", _box(b"udta", b"\0" * 8)) + mdat
+        z = zeros("NO_MVHD")
+        z.update(major_brand="isom", sha256=hashlib.sha256(payload).hexdigest())
+        return payload, z
+    moov = _box(b"moov", _mvhd(version, timescale, duration) + _box(b"udta", b"\0" * 4))
+    payload = ftyp + free + moov + mdat
+    if roll < 0.3:  # cut inside the mvhd fields
+        payload = payload[: len(ftyp) + len(free) + 8 + 16]
+        z = zeros("TRUNCATED")
+        z.update(major_brand="isom", sha256=hashlib.sha256(payload).hexdigest())
+        return payload, z
+    return payload, {
+        "media_id": media_id,
+        "major_brand": "isom",
+        "timescale": timescale,
+        "duration_units": duration,
+        "duration_s": round(duration / timescale, 6),
+        "sha256": hashlib.sha256(payload).hexdigest(),
+        "error": None,
+    }
 
 
 def _warc_record(

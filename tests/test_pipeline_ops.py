@@ -720,6 +720,67 @@ def test_audio_decode_matches_parameter_golden(spark, tiny_dir):
     assert {None, "EMPTY_INPUT", "NOT_RIFF", "NO_FMT", "UNSUPPORTED_CODEC", "TRUNCATED"} <= errs
 
 
+def test_mp4_decode_kernel_taxonomy():
+    """Pure-kernel ISO-BMFF probe: a generator-built MP4 round-trips its
+    parameters (v0 and v1 mvhd); malformed shapes land in the error
+    channel; never raises on arbitrary prefixes."""
+    from ocr_spark.fixtures.generator import _box, _mvhd
+    from ocr_spark.operators.multimodal import _mp4_decode
+
+    ftyp = _box(b"ftyp", b"isom" + b"\0\0\0\1" + b"mp42")
+    for version in (0, 1):
+        mp4 = ftyp + _box(b"moov", _mvhd(version, 90000, 123456)) + _box(b"mdat", b"\0" * 32)
+        got = _mp4_decode(mp4)
+        assert got["error"] is None, got
+        assert got["major_brand"] == "isom"
+        assert (got["timescale"], got["duration_units"]) == (90000, 123456)
+        assert got["duration_s"] == round(123456 / 90000, 6)
+
+    assert _mp4_decode(None)["error"] == "EMPTY_INPUT"
+    assert _mp4_decode(b"XXXXnotaboxatall")["error"] == "NOT_MP4"
+    assert _mp4_decode(ftyp + _box(b"mdat", b"\0" * 8))["error"] == "NO_MOOV"
+    assert _mp4_decode(ftyp + _box(b"moov", _box(b"udta", b"\0" * 4)))["error"] == "NO_MVHD"
+    full = ftyp + _box(b"moov", _mvhd(0, 600, 600))
+    assert _mp4_decode(full[: len(ftyp) + 20])["error"] == "TRUNCATED"
+    for cut in range(0, len(full), 5):
+        _mp4_decode(full[:cut])  # never raises
+
+
+def test_video_decode_matches_parameter_golden(spark, tiny_dir):
+    """decode_videos over the fixture == the generator's parameter-derived
+    golden on every field."""
+    from ocr_spark.operators.multimodal import decode_videos
+
+    media = spark.read.parquet(f"{tiny_dir}/video.parquet")
+    got = {
+        r["media_id"]: (
+            r["meta"]["major_brand"], r["meta"]["timescale"],
+            r["meta"]["duration_units"], r["meta"]["duration_s"],
+            r["meta"]["sha256"], r["meta"]["error"],
+        )
+        for r in decode_videos(media).collect()
+    }
+    want = {
+        r["media_id"]: (
+            r["major_brand"], r["timescale"], r["duration_units"],
+            r["duration_s"], r["sha256"], r["error"],
+        )
+        for r in spark.read.parquet(f"{tiny_dir}/golden_video.parquet").collect()
+    }
+    assert got == want
+    # taxonomy coverage on the bigger tier (tiny's 40 draws can miss a class)
+    import pyarrow.parquet as _pq
+
+    from ocr_spark.fixtures.generator import ensure_fixtures as _ef
+
+    errs = set(
+        _pq.read_table(f"{_ef('small')}/golden_video.parquet")
+        .column("error")
+        .to_pylist()
+    )
+    assert {None, "EMPTY_INPUT", "NOT_MP4", "NO_MOOV", "NO_MVHD", "TRUNCATED"} <= errs
+
+
 def test_multimodal_pil_path_when_available(spark):
     """When PIL is importable the real decoder is used (tiny valid PNG
     decodes; garbage bytes land in the per-row error channel, never raise);
