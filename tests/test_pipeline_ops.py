@@ -781,6 +781,39 @@ def test_video_decode_matches_parameter_golden(spark, tiny_dir):
     assert {None, "EMPTY_INPUT", "NOT_MP4", "NO_MOOV", "NO_MVHD", "TRUNCATED"} <= errs
 
 
+def test_media_parsers_never_raise_fuzz():
+    """E6 hard guarantee: the RIFF and ISO-BMFF parsers return an error
+    struct for ARBITRARY bytes — including adversarial size fields — and
+    never raise (hypothesis fuzz + crafted overflow headers)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_spark.operators.multimodal import _mp4_decode, _wav_decode
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=256))
+    def fuzz(b):
+        for fn in (_wav_decode, _mp4_decode):
+            out = fn(b)
+            assert set(out) >= {"sha256", "error"}
+
+    fuzz()
+    # crafted: declared sizes far beyond the payload / zero-size loops
+    import struct
+
+    crafted = [
+        b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE" + b"fmt " + struct.pack("<I", 0xFFFFFFF0),
+        b"RIFF" + struct.pack("<I", 4) + b"WAVE" + (b"junk" + struct.pack("<I", 0)) * 8,
+        struct.pack(">I", 0xFFFFFFFF) + b"ftyp" + b"isom",
+        struct.pack(">I", 1) + b"ftyp" + struct.pack(">Q", 2**63) + b"isommoov",
+        struct.pack(">I", 16) + b"ftyp" + b"isom\0\0\0\1"
+        + struct.pack(">I", 0) + b"moov" + struct.pack(">I", 0xFFFFFFFF) + b"mvhd",
+    ]
+    for b in crafted:
+        _wav_decode(b)
+        _mp4_decode(b)
+
+
 def test_multimodal_pil_path_when_available(spark):
     """When PIL is importable the real decoder is used (tiny valid PNG
     decodes; garbage bytes land in the per-row error channel, never raise);
