@@ -8,10 +8,15 @@ jobs/extract_job.py, production-shaped for a cluster launch:
         [--near-dedup] [--near-threshold 0.8] [--langs en,fr] \
         [--min-chars 50] [--min-gopher-stopwords 0]
 
-Runs ``corpus_filter`` (rule battery -> optional language filter -> exact
-dedup -> optional MinHash-LSH near-dedup) and commits BOTH the kept corpus
-and the full audit (one row per input doc with its fate — a pipeline that
-silently drops data is undebuggable at 10^12 rows).  ``--signatures``
+Runs ``corpus_filter`` (rule battery -> optional language filter ->
+benchmark decontamination -> exact dedup -> optional MinHash-LSH
+near-dedup) and commits BOTH the kept corpus and the full audit (one row
+per input doc with its fate — a pipeline that silently drops data is
+undebuggable at 10^12 rows).  The kept/audit tables are REPLACED each run
+(they are a pure function of input + config; a merge-upsert would let rows
+kept by a prior, looser config survive a stricter rerun).  With --audit,
+the filter pipeline executes exactly once: kept docs and the reason
+histogram both derive from the committed audit table.  ``--signatures``
 materializes the survivor signature relation to a table so a rerun/restart
 re-hashes nothing (memory-bounded at 100 TB; see
 materialize_minhash_signatures).  Exit codes mirror extract_job: 2 bad
@@ -44,6 +49,8 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--buckets", type=int, default=16)
     p.add_argument("--cores", type=int, default=None, help="local mode only")
     args = p.parse_args(argv)
+    if args.signatures and not args.near_dedup:
+        p.error("--signatures only applies with --near-dedup")
 
     from pyspark.sql import SparkSession
 
@@ -61,8 +68,13 @@ def main(argv: list[str] | None = None) -> dict:
     )
     try:
         docs = spark.read.parquet(args.input)
+        bench_df = spark.read.parquet(args.benchmark) if args.benchmark else None
     except Exception:  # noqa: BLE001 — operator-friendly CLI error
-        print(f"error: cannot read --input {args.input!r}", file=sys.stderr)
+        print(
+            f"error: cannot read --input {args.input!r}"
+            + (f" / --benchmark {args.benchmark!r}" if args.benchmark else ""),
+            file=sys.stderr,
+        )
         raise SystemExit(2) from None
 
     rules = {}
@@ -84,28 +96,44 @@ def main(argv: list[str] | None = None) -> dict:
             near_dedup=args.near_dedup,
             near_threshold=args.near_threshold,
             signatures_table=sig_tbl,
-            benchmark=spark.read.parquet(args.benchmark) if args.benchmark else None,
+            benchmark=bench_df,
         )
-        out = IceliteTable(args.output, key_col="doc_id", n_buckets=args.buckets)
-        out.merge(kept, metadata={"op": "corpus_filter", "near_dedup": args.near_dedup})
-        stats = {
-            "job": "dedup",
-            "output": args.output,
-            "docs_in": docs.count(),
-            "docs_kept": out.row_count(),
-        }
-        if args.audit:
-            from pyspark.sql import functions as F
+        from pyspark.sql import functions as F
 
+        # the output tables are a pure function of (input, filter config):
+        # each run REPLACES them — a merge-upsert would let rows kept by a
+        # PRIOR config survive a stricter rerun (stale keys, wrong corpus)
+        meta = {"op": "corpus_filter", "near_dedup": args.near_dedup}
+        out = IceliteTable(args.output, key_col="doc_id", n_buckets=args.buckets)
+        out.drop()
+        stats = {"job": "dedup", "output": args.output}
+        if args.audit:
+            # commit the audit first, then DERIVE everything else from the
+            # committed table: the heavy filter pipeline executes exactly
+            # once — kept is a semi-join of the raw input against the
+            # committed keep flags, and the reason histogram is a cheap
+            # re-read, not a recomputation
             audit_tbl = IceliteTable(args.audit, key_col="doc_id", n_buckets=args.buckets)
-            audit_tbl.merge(audit, metadata={"op": "corpus_filter_audit"})
-            stats["audit"] = args.audit
-            stats["reasons"] = {
+            audit_tbl.drop()
+            audit_tbl.append(audit, metadata={"op": "corpus_filter_audit"})
+            committed = audit_tbl.read(spark)
+            hist = {
                 r["reason"]: r["n"]
-                for r in audit.groupBy("reason")
+                for r in committed.groupBy("reason")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }
+            kept_ids = committed.filter(F.col("keep")).select("doc_id")
+            out.append(docs.join(kept_ids, "doc_id", "left_semi"), metadata=meta)
+            stats.update(
+                docs_in=sum(hist.values()),
+                docs_kept=hist.get("kept", 0),
+                audit=args.audit,
+                reasons=hist,
+            )
+        else:
+            out.append(kept, metadata=meta)
+            stats.update(docs_in=docs.count(), docs_kept=out.row_count())
     except SchemaMismatchError as e:
         print(f"error: schema rejected: {e}", file=sys.stderr)
         raise SystemExit(4) from None

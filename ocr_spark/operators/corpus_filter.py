@@ -111,7 +111,14 @@ def corpus_filter(
     if benchmark is not None:
         from ocr_spark.operators.corpus_ops import decontaminate
 
-        cont = decontaminate(df, benchmark, id_col, text_col, n=decont_n).select(
+        # only rule/lang survivors are worth the 13-gram explode: the audit
+        # coalesce consults _cont_fail strictly after those stages, so the
+        # output is identical and the most expensive per-doc expression in
+        # the pipeline skips every already-rejected doc
+        pre = staged.filter(
+            F.col("_rule_fail").isNull() & ~F.col("_lang_fail")
+        ).select(id_col, text_col)
+        cont = decontaminate(pre, benchmark, id_col, text_col, n=decont_n).select(
             F.col(id_col).alias("_cont_id"), F.col("contaminated").alias("_cont_fail")
         )
         staged = staged.join(
@@ -131,10 +138,25 @@ def corpus_filter(
     if near_dedup:
         sigs = None
         if signatures_table is not None:
+            import json as _json
+
             from ocr_spark.operators.dedup import materialize_minhash_signatures
 
+            # the doc set the signatures cover is a function of the filter
+            # configuration — fingerprint it so a rerun with different
+            # rules/langs/benchmark refuses the stale table (plus the
+            # count check inside materialize for input drift)
+            token = _json.dumps(
+                {
+                    "rules": {k: r[k] for k in sorted(r)},
+                    "langs": sorted(langs) if langs else None,
+                    "benchmark": benchmark is not None,
+                    "decont_n": decont_n if benchmark is not None else None,
+                },
+                sort_keys=True,
+            )
             sigs = materialize_minhash_signatures(
-                kept_ids, signatures_table, id_col, text_col
+                kept_ids, signatures_table, id_col, text_col, dataset_token=token
             )
         pairs = minhash_dup_pairs(
             kept_ids, id_col, text_col, threshold=near_threshold, signatures=sigs

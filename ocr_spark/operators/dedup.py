@@ -99,6 +99,7 @@ def materialize_minhash_signatures(
     text_col: str = "text",
     num_perm: int = 64,
     bands: int = 16,
+    dataset_token: str | None = None,
 ) -> DataFrame:
     """Compute minhash signatures and persist them to an icelite table
     (atomic commit), returning the materialized relation.  If the table
@@ -110,7 +111,16 @@ def materialize_minhash_signatures(
     invalidation (drop the table when the corpus changes).
 
     ``table``: an ``ocr_spark.sources.icelite.IceliteTable`` keyed on
-    ``doc_id``."""
+    ``doc_id``.
+
+    ``dataset_token``: an identity string for the INPUT DOC SET (e.g. a
+    digest of the upstream filter parameters) — recorded at build time and
+    validated on reuse.  A stale table whose doc set drifted from ``df``
+    would silently mis-cluster: docs without a signature row never enter
+    the banded join, and a pair whose min-id member left the corpus drops
+    the survivor as a 'duplicate' of a ghost.  Reuse additionally checks
+    the table's row count against ``df.count()`` (cheap on the reuse path)
+    to catch input drift the token can't see."""
     spark = df.sparkSession
     if table.exists() and table.row_count() > 0:
         # reuse only a table built with the SAME parameters — 64-wide
@@ -118,21 +128,40 @@ def materialize_minhash_signatures(
         # against the wrong denominator with no error
         stored = next(
             (
-                {"num_perm": s.metadata["num_perm"], "bands": s.metadata["bands"]}
+                {
+                    "num_perm": s.metadata["num_perm"],
+                    "bands": s.metadata["bands"],
+                    "dataset_token": s.metadata.get("dataset_token"),
+                }
                 for s in table.snapshots()
                 if s.metadata.get("op") == "minhash_signatures"
             ),
             None,
         )
-        want = {"num_perm": num_perm, "bands": bands}
+        want = {"num_perm": num_perm, "bands": bands, "dataset_token": dataset_token}
         if stored != want:
             raise ValueError(
                 f"signature table {table.root} was built with {stored}, "
                 f"requested {want} — drop the table to rebuild"
             )
+        n_df, n_tbl = df.count(), table.row_count()
+        if n_df != n_tbl:
+            raise ValueError(
+                f"signature table {table.root} holds {n_tbl} signatures but "
+                f"the input has {n_df} docs — the doc set drifted since the "
+                "table was built; drop the table to rebuild"
+            )
         return table.read(spark)
     sigs = minhash_signatures(df, id_col, text_col, num_perm, bands)
-    table.append(sigs, metadata={"op": "minhash_signatures", "num_perm": num_perm, "bands": bands})
+    table.append(
+        sigs,
+        metadata={
+            "op": "minhash_signatures",
+            "num_perm": num_perm,
+            "bands": bands,
+            "dataset_token": dataset_token,
+        },
+    )
     if table.row_count() == 0:  # empty input: nothing landed, nothing to read
         return sigs
     return table.read(spark)
@@ -346,26 +375,9 @@ def ngram_jaccard_pairs(
     the minhash ``signatures_table``).  Caller owns the cache lifecycle in
     long-lived sessions (bench.py clearCache()s between queries).
     """
-    # bind the words array to a column FIRST: inlining the split() into the
-    # transform lambda makes the engine re-split the text once per gram
-    # element (measured 11x slower on the gram build)
-    words = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
-        (F.length(F.trim(F.col(text_col))) == 0).alias("_empty"),
-    )
-    grams = words.select(
-        "doc_id",
-        F.when(F.col("_empty"), F.array()).otherwise(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size("_w") - n, F.lit(0))),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, n)),
-                )
-            )
-        ).alias("grams"),
-    )
-    flat_all = grams.select("doc_id", F.explode("grams").alias("gram")).cache()
+    from ocr_spark.operators.corpus_ops import exploded_word_ngrams
+
+    flat_all = exploded_word_ngrams(df, id_col, text_col, n, out_id="doc_id").cache()
     hot = (
         flat_all.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("gram_df"))
@@ -376,8 +388,11 @@ def ngram_jaccard_pairs(
     sizes = flat.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     a, b = flat.alias("a"), flat.alias("b")
     # aggregate on the BARE id pair (the candidate relation is the big one
-    # — 16 bytes/row), then fetch the two per-doc sizes from the tiny sizes
-    # relation with broadcast joins AFTER the aggregation
+    # — 16 bytes/row), then fetch the two per-doc sizes AFTER the
+    # aggregation.  No broadcast hint: sizes is one row per document
+    # (corpus-cardinality — broadcasting it would OOM at 10^9 docs); the
+    # planner shuffles the already-aggregated pair relation instead, which
+    # is the small side post-verify
     inter = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
@@ -385,21 +400,20 @@ def ngram_jaccard_pairs(
             F.col("b.doc_id").alias("id_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
-        .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))),
-            "id_a",
-        )
-        .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))),
-            "id_b",
-        )
+        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb")), "id_b")
     )
     jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
-    return (
+    out = (
         inter.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # targeted cache handle: callers in long-lived sessions can reclaim
+    # exactly this relation (out._gram_cache.unpersist()) instead of a
+    # global clearCache that nukes unrelated workloads' caches
+    out._gram_cache = flat_all
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -516,7 +530,13 @@ def dedup_pipeline(
     of re-hashing the corpus (see :func:`materialize_minhash_signatures`)."""
     survivors = exact_dedup_keep(df, id_col, text_col)
     sigs = (
-        materialize_minhash_signatures(survivors, signatures_table, id_col, text_col)
+        materialize_minhash_signatures(
+            survivors,
+            signatures_table,
+            id_col,
+            text_col,
+            dataset_token=f"dedup_pipeline:{id_col}:{text_col}",
+        )
         if signatures_table is not None
         else None
     )

@@ -267,7 +267,8 @@ def _mp4_decode(payload: bytes | None) -> dict:
     ``_wav_decode``: frame DECODING stays a codec boundary, the container
     metadata a training pipeline partitions/samples on is parsed for real.
     E6 per-row errors, never raises: EMPTY_INPUT / NOT_MP4 (first box not
-    ftyp) / NO_MOOV / NO_MVHD / TRUNCATED (mvhd fields cut short)."""
+    ftyp) / NO_MOOV / NO_MVHD / UNSUPPORTED_VERSION (mvhd version > 1) /
+    TRUNCATED (mvhd fields cut short)."""
     import struct
 
     out = {
@@ -302,6 +303,9 @@ def _mp4_decode(payload: bytes | None) -> dict:
         out["error"] = "TRUNCATED"
         return out
     version = payload[s]
+    if version > 1:  # only mvhd v0/v1 exist; parsing v1 offsets from an
+        out["error"] = "UNSUPPORTED_VERSION"  # unknown layout would emit garbage
+        return out
     need = 4 + (28 if version else 16)  # ver/flags + times + timescale + duration
     if avail - s < need:
         out["error"] = "TRUNCATED"

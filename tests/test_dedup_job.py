@@ -42,6 +42,49 @@ def test_dedup_job_end_to_end(spark, tmp_path):
     assert sig_tbl.head_id() == sig_head  # no re-hash on restart
 
 
+def test_dedup_job_stricter_rerun_replaces_output(spark, tmp_path):
+    """The kept table is a pure function of (input, config): a stricter
+    rerun must NOT leave rows kept by the looser config (merge-upsert
+    would), and a changed config must refuse the stale signature table."""
+    import pytest as _pytest
+
+    from jobs.dedup_job import main
+
+    out = str(tmp_path / "kept")
+    audit = str(tmp_path / "audit")
+    base = [
+        "--input", f"{SF}/documents.parquet",
+        "--output", out, "--audit", audit, "--buckets", "4",
+    ]
+    s1 = main(base + ["--min-chars", "10"])
+    s2 = main(base + ["--min-chars", "5000"])  # much stricter
+    assert s2["docs_kept"] < s1["docs_kept"]
+    assert IceliteTable(out, "doc_id", 4).row_count() == s2["docs_kept"]
+    assert s2["reasons"].get("kept", 0) == s2["docs_kept"]
+
+    # signature table is config-fingerprinted: a rerun with different
+    # rules refuses the stale relation instead of mis-clustering
+    sigs = str(tmp_path / "sigs")
+    nd = base + ["--near-dedup", "--signatures", sigs]
+    main(nd + ["--min-chars", "10"])
+    with _pytest.raises(ValueError, match="signature table"):
+        main(nd + ["--min-chars", "200"])
+
+
+def test_dedup_job_signatures_require_near_dedup(tmp_path):
+    import pytest as _pytest
+
+    from jobs.dedup_job import main
+
+    with _pytest.raises(SystemExit) as e:
+        main([
+            "--input", f"{SF}/documents.parquet",
+            "--output", str(tmp_path / "o"),
+            "--signatures", str(tmp_path / "s"),
+        ])
+    assert e.value.code == 2  # argparse usage error
+
+
 def test_dedup_job_bad_input_exit_2(spark, tmp_path):
     from jobs.dedup_job import main
 

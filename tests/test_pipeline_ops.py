@@ -738,6 +738,10 @@ def test_mp4_decode_kernel_taxonomy():
 
     assert _mp4_decode(None)["error"] == "EMPTY_INPUT"
     assert _mp4_decode(b"XXXXnotaboxatall")["error"] == "NOT_MP4"
+    # unknown mvhd versions must land in the error channel, not be parsed
+    # with version-1 offsets as garbage metadata
+    weird = ftyp + _box(b"moov", _box(b"mvhd", b"\x02" + b"\0" * 40))
+    assert _mp4_decode(weird)["error"] == "UNSUPPORTED_VERSION"
     assert _mp4_decode(ftyp + _box(b"mdat", b"\0" * 8))["error"] == "NO_MOOV"
     assert _mp4_decode(ftyp + _box(b"moov", _box(b"udta", b"\0" * 4)))["error"] == "NO_MVHD"
     full = ftyp + _box(b"moov", _mvhd(0, 600, 600))
