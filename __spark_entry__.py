@@ -410,6 +410,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return unigram_logprob(_pq(spark, sf_dir, "documents"))
 
+    def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ocr_spark.operators.corpus_ops import top_ngram_stats
+
+        return top_ngram_stats(_pq(spark, sf_dir, "documents"), n=2)
+
     # -- similarity search ------------------------------------------------
     def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
         row = (
@@ -573,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "unigram_logprob": q_unigram_logprob,
+        "repetition": q_repetition,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -1051,6 +1057,34 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ), 0) // 2048 AS BIGINT) AS seq_no
             FROM n
+        """,
+        "repetition": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\s+') END AS toks
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, len(toks) AS n_toks,
+                     unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                                 ELSE list_transform(
+                                      generate_series(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i + 1])
+                            END) AS gram
+              FROM w
+            ),
+            top AS (
+              SELECT doc_id, n_toks, MAX(c) AS top_gram_count FROM (
+                SELECT doc_id, n_toks, gram, COUNT(*) AS c
+                FROM grams GROUP BY doc_id, n_toks, gram
+              ) GROUP BY doc_id, n_toks
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(t.top_gram_count, 0) AS BIGINT) AS top_gram_count,
+                   round(coalesce(t.top_gram_count * 2.0 / t.n_toks, 0.0), 6)
+                     AS top_gram_ratio
+            FROM documents d LEFT JOIN top t USING (doc_id)
         """,
         "unigram_logprob": r"""
             WITH words AS (

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "pack_sequences",
     "unigram_logprob",
+    "repetition",
     "dedup_pipeline",
 ]
 

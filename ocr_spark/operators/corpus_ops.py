@@ -127,6 +127,62 @@ def decontaminate(
 
 
 # ---------------------------------------------------------------------------
+# repetition signal (Gopher: fraction of tokens in the most common n-gram)
+# ---------------------------------------------------------------------------
+def top_ngram_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Per-document repetition signal (Rae et al. 2021 §A1.1 'repetition
+    removal'): the occurrence count of the document's most frequent word
+    ``n``-gram and the fraction of tokens it covers (count*n / n_tokens).
+    Template/spam pages repeat one phrase; prose doesn't.
+
+    Relational on purpose — explode grams WITH multiplicity, map-side
+    partial count per (doc, gram), max per doc — so the same shape runs on
+    DuckDB for the oracle and the per-doc state never exceeds one (gram,
+    count) pair post-aggregation.  Texts shorter than ``n`` words have no
+    n-gram: count 0, ratio 0 (note: a DIFFERENT short-text convention from
+    exploded_word_ngrams, which is a dedup identity)."""
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
+        (F.length(F.trim(F.col(text_col))) == 0).alias("_empty"),
+    )
+    grams = words.select(
+        "_id",
+        F.size("_w").alias("_n_toks"),
+        F.explode(
+            F.when(F.col("_empty") | (F.size("_w") < n), F.array()).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_w") - n),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, n)),
+                )
+            )
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy("_id", "_n_toks", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("_id", "_n_toks")
+        .agg(F.max("c").alias("top_gram_count"))
+    )
+    ids = df.select(F.col(id_col))
+    return (
+        ids.join(top, ids[id_col] == top._id, "left")
+        .select(
+            id_col,
+            F.coalesce("top_gram_count", F.lit(0)).cast("bigint").alias("top_gram_count"),
+            F.round(
+                F.coalesce(
+                    F.col("top_gram_count") * n / F.col("_n_toks"), F.lit(0.0)
+                ),
+                6,
+            ).alias("top_gram_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # sequence packing (concatenate-and-cut at a token budget)
 # ---------------------------------------------------------------------------
 def pack_sequences(

@@ -68,6 +68,44 @@ def test_decontaminate_flags_overlap(spark):
     assert got[4] == (False, 0)
 
 
+def test_top_ngram_repetition_signal(spark):
+    """Gopher repetition removal: template spam (one phrase repeated) gets
+    a high most-common-2-gram ratio; prose stays low; short/empty texts
+    are zeros."""
+    from ocr_spark.operators.corpus_ops import top_ngram_stats
+
+    rows = [
+        (1, "buy now " * 20),                       # 'now buy'/'buy now' dominate
+        (2, "the quick brown fox jumps over the lazy dog near the old barn"),
+        (3, "word"),                                 # < n tokens: no gram
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["top_gram_count"], r["top_gram_ratio"])
+        for r in top_ngram_stats(df, n=2).collect()
+    }
+    # doc 1: 40 tokens, 'buy now' occurs 20x -> ratio 20*2/40 = 1.0
+    assert got[1] == (20, 1.0)
+    assert got[2][0] == 1 and got[2][1] == round(2 / 13, 6)  # 13 tokens
+    assert got[3] == (0, 0.0)
+    assert got[4] == (0, 0.0)
+
+
+def test_bench_queries_all_exist():
+    """Every bench.py query key must resolve in the driver contract —
+    a renamed query must fail HERE, not mid-bench."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry_mod
+    import bench
+
+    qs = entry_mod.queries()
+    missing = [k for k in bench.BENCH_QUERIES if k not in qs]
+    assert not missing, missing
+
+
 def test_pack_sequences_offsets_and_bins(spark):
     rows = [(i, " ".join(["tok"] * n)) for i, n in enumerate([5, 7, 3, 0, 10, 2])]
     df = spark.createDataFrame(rows, "doc_id long, text string")
