@@ -283,6 +283,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", F.length("html").cast("bigint").alias("html_len")
         )
 
+    def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """WET container source: conversion records -> (url, text); the
+        pre-extracted text must survive the container round trip
+        byte-for-byte (hash match vs the pages fixture)."""
+        from ocr_spark.sources.warc import read_wet
+
+        return read_wet(spark, f"{fix}/wet").select("url", "text")
+
     def q_corpus_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ocr_spark.operators.corpus_filter import corpus_filter
 
@@ -570,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pipeline": q_dedup_pipeline,
         "url_canonicalize": q_url_canonicalize,
         "warc_roundtrip": q_warc_roundtrip,
+        "wet_roundtrip": q_wet_roundtrip,
         "corpus_filter_audit": q_corpus_filter_audit,
         "corpus_filter_near": q_corpus_filter_near,
         "audio_meta": q_audio_meta,
@@ -896,6 +905,10 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": f"""
             SELECT url, CAST(octet_length(html) AS BIGINT) AS html_len
             FROM '{pages}'
+        """,
+        # unextractable pages (text NULL) carry no WET conversion record
+        "wet_roundtrip": f"""
+            SELECT url, text FROM '{pages}' WHERE text IS NOT NULL
         """,
         # audio: the golden carries the generator's PARAMETERS (channels,
         # rate, frames -> duration), written by the stdlib `wave` module —

@@ -62,7 +62,7 @@ def join_blocks(blocks: list[str]) -> tuple[str, list[tuple[str, int, int]]]:
     return "\n".join(normed), spans
 
 SEED = 42
-FORMAT_VERSION = 20  # bump to force regeneration everywhere (v20: MP4 goldens keep parsed brand)
+FORMAT_VERSION = 21  # bump to force regeneration everywhere (v21: WET container fixtures)
 
 # bench is sized so the extraction stage runs for seconds, not hundreds of
 # milliseconds, at local[32] — otherwise the ~0.3 s fixed job floor (task
@@ -526,7 +526,7 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
     if cfg["attendance"]:
         expected += ["attendance_docs.parquet", "golden_attendance.parquet"]
     if cfg["warc_files"]:
-        expected += ["warc"]
+        expected += ["warc", "wet"]
     if cfg.get("audio"):
         expected += ["audio.parquet", "golden_audio.parquet"]
     if cfg.get("video"):
@@ -738,6 +738,33 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
             import gzip as _gzip
 
             with open(os.path.join(warc_dir, f"part-{si:03d}.warc.gz"), "wb") as f:
+                f.write(_gzip.compress(bytes(buf)))
+
+        # WET sidecar: the SAME documents as conversion records carrying the
+        # pre-extracted plain text (Common Crawl's .wet companion files) —
+        # read back by sources.warc.read_wet; the container round trip must
+        # preserve the text byte-for-byte (wet_roundtrip oracle)
+        import gzip as _gzip
+
+        wet_dir = os.path.join(out_dir, "wet")
+        os.makedirs(wet_dir, exist_ok=True)
+        for si, shard in enumerate(shards):
+            buf = bytearray()
+            buf += _warc_record(
+                b"warcinfo", None, None, b"software: ocr-spark-fixture-gen-wet\r\n"
+            )
+            for d in shard:
+                ts = d["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ").encode()
+                if rng.random() < 0.2:  # non-conversion records must be skipped
+                    buf += _warc_record(
+                        b"metadata", d["url"].encode(), ts, b"fetch: ok\r\n"
+                    )
+                if d["text"] is None:  # unextractable page: no WET record
+                    continue
+                buf += _warc_record(
+                    b"conversion", d["url"].encode(), ts, d["text"].encode("utf-8")
+                )
+            with open(os.path.join(wet_dir, f"part-{si:03d}.wet.gz"), "wb") as f:
                 f.write(_gzip.compress(bytes(buf)))
 
     # ---- audio (binary media column + parameter-derived golden) ---------

@@ -55,9 +55,17 @@ def _parse_headers(block: bytes) -> dict[bytes, bytes]:
     return out
 
 
-def parse_warc_bytes(payload: bytes, path: str) -> tuple[list[dict], int]:
+def parse_warc_bytes(
+    payload: bytes, path: str, mode: str = "warc"
+) -> tuple[list[dict], int]:
     """One WARC file's bytes -> (page rows, n_bad_records).  Pure python —
-    unit-testable without Spark; wrapped in mapInPandas below."""
+    unit-testable without Spark; wrapped in mapInPandas below.
+
+    ``mode="warc"``: keep ``response`` records with a text/html payload —
+    the html lands in the ``html`` column (raw-bytes branch).
+    ``mode="wet"``: keep ``conversion`` records (Common Crawl's WET
+    sidecar: pre-extracted plain text, no HTTP envelope) — the utf-8 text
+    lands in the ``text`` column (the wet-normalize branch's input)."""
     if payload[:2] == b"\x1f\x8b":  # gzip (possibly multi-member)
         try:
             payload = gzip.GzipFile(fileobj=io.BytesIO(payload)).read()
@@ -94,11 +102,32 @@ def parse_warc_bytes(payload: bytes, path: str) -> tuple[list[dict], int]:
         pos = head_end + 4 + length
         while payload[pos : pos + 2] == b"\r\n":
             pos += 2
-        if header.get(b"warc-type") != b"response":
+        wanted_type = b"response" if mode == "warc" else b"conversion"
+        if header.get(b"warc-type") != wanted_type:
             continue
         uri = header.get(b"warc-target-uri")
         if not uri:
             bad += 1
+            continue
+        ts = None
+        if b"warc-date" in header:
+            try:
+                ts = datetime.strptime(
+                    header[b"warc-date"].decode("ascii"), "%Y-%m-%dT%H:%M:%SZ"
+                ).replace(tzinfo=timezone.utc)
+            except ValueError:
+                ts = None
+        if mode == "wet":
+            rows.append(
+                {
+                    "url": uri.decode("utf-8", errors="replace"),
+                    "warc_ts": ts,
+                    "html": None,
+                    "text": body.decode("utf-8", errors="replace"),
+                    "lang": None,
+                    "warc_file": path,
+                }
+            )
             continue
         # body = http headers + CRLF CRLF + html
         http_end = body.find(_CRLF2)
@@ -109,14 +138,6 @@ def parse_warc_bytes(payload: bytes, path: str) -> tuple[list[dict], int]:
         ctype = http_headers.get(b"content-type", b"")
         if b"text/html" not in ctype:
             continue
-        ts = None
-        if b"warc-date" in header:
-            try:
-                ts = datetime.strptime(
-                    header[b"warc-date"].decode("ascii"), "%Y-%m-%dT%H:%M:%SZ"
-                ).replace(tzinfo=timezone.utc)
-            except ValueError:
-                ts = None
         rows.append(
             {
                 "url": uri.decode("utf-8", errors="replace"),
@@ -130,22 +151,32 @@ def parse_warc_bytes(payload: bytes, path: str) -> tuple[list[dict], int]:
     return rows, bad
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """WARC files under ``path`` -> pages DataFrame (WARC_PAGES_SCHEMA)."""
-
+def _read_container(spark: SparkSession, path: str, mode: str, glob: str) -> DataFrame:
     def fn(batches):
         for pdf in batches:
             out: list[dict] = []
             for p, content in zip(pdf["path"], pdf["content"]):
-                rows, _bad = parse_warc_bytes(bytes(content), p)
+                rows, _bad = parse_warc_bytes(bytes(content), p, mode)
                 out.extend(rows)
             yield pd.DataFrame(
                 out,
                 columns=["url", "warc_ts", "html", "text", "lang", "warc_file"],
             )
 
-    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.warc*").load(path)
+    files = spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
     return files.select("path", "content").mapInPandas(fn, WARC_PAGES_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC files under ``path`` -> pages DataFrame (WARC_PAGES_SCHEMA)."""
+    return _read_container(spark, path, "warc", "*.warc*")
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET files under ``path`` -> pages DataFrame with the pre-extracted
+    plain text in ``text`` (html is null) — Common Crawl's conversion
+    sidecar, the input of the wet-normalize branch."""
+    return _read_container(spark, path, "wet", "*.wet*")
 
 
 def warc_lineage(spark: SparkSession, path: str) -> DataFrame:

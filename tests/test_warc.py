@@ -69,3 +69,39 @@ def test_warc_lineage(spark, tiny_dir):
     lin = warc_lineage(spark, f"{tiny_dir}/warc").collect()
     assert len(lin) == 4  # one row per container file
     assert sum(r["n_pages"] for r in lin) == 100
+
+def test_wet_roundtrip_byte_identical(spark, tiny_dir):
+    """The WET sidecar (conversion records) reads back to exactly the
+    pages' pre-extracted text; metadata records are skipped; unextractable
+    (NULL-text) pages have no record."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.sources.warc import read_wet
+
+    wet = read_wet(spark, f"{tiny_dir}/wet")
+    pages = spark.read.parquet(f"{tiny_dir}/pages.parquet")
+    want = pages.filter(F.col("text").isNotNull()).select(
+        "url", F.col("text").alias("ptext")
+    )
+    j = wet.join(want, "url", "full")
+    assert j.filter(F.col("text").isNull() | F.col("ptext").isNull()).count() == 0
+    assert j.filter(F.col("text") != F.col("ptext")).count() == 0
+    # html stays null on the WET branch (it feeds wet_normalize directly)
+    assert wet.filter(F.col("html").isNotNull()).count() == 0
+
+
+def test_parse_wet_mode_unit():
+    """Pure-python WET parse: conversion kept, response/metadata skipped."""
+    from ocr_spark.fixtures.generator import _warc_record
+    from ocr_spark.sources.warc import parse_warc_bytes
+
+    buf = (
+        _warc_record(b"warcinfo", None, None, b"software: t\r\n")
+        + _warc_record(b"metadata", b"http://a/", b"2025-01-01T00:00:00Z", b"x")
+        + _warc_record(b"conversion", b"http://a/", b"2025-01-01T00:00:00Z", "héllo\nwörld".encode())
+        + _warc_record(b"response", b"http://b/", b"2025-01-01T00:00:00Z", b"HTTP/1.1 200 OK\r\n\r\n<p>h</p>")
+    )
+    rows, bad = parse_warc_bytes(bytes(buf), "f.wet", mode="wet")
+    assert bad == 0
+    assert [(r["url"], r["text"]) for r in rows] == [("http://a/", "héllo\nwörld")]
+    assert rows[0]["html"] is None
