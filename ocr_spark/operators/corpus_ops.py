@@ -13,11 +13,12 @@ Scale notes (the 100 TB lens):
   are ~10^3..10^5 docs), so its distinct n-gram set BROADCASTS; the corpus
   side streams through one hash join — no corpus shuffle at all.
 - ``pack_sequences``: a global running token offset computed as a
-  TWO-LEVEL prefix sum — per-chunk subtotals (map-side combined, shuffle
-  of ~n/chunk tiny rows), a window over the chunk totals (thousands of
-  rows), then a within-chunk window (partitioned, parallel).  A naive
-  single ``Window.orderBy`` with no partition would funnel the whole
-  corpus through ONE task.
+  THREE-LEVEL prefix sum — per-chunk subtotals (map-side combined), per-
+  superchunk subtotals, one unpartitioned window over n/chunk^2 rows,
+  then partitioned windows back down.  A naive single ``Window.orderBy``
+  with no partition would funnel the whole corpus through ONE task; even
+  a two-level scheme leaves n/chunk rows (2.4x10^8 at 10^12 docs) in a
+  single window task.
 - ``unigram_logprob``: vocab counts via map-side-combined groupBy on the
   word; per-word surprisals are rounded to integer micro-nats BEFORE the
   per-doc sum so the aggregate is exact-integer math — cross-engine
@@ -25,6 +26,8 @@ Scale notes (the 100 TB lens):
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -92,6 +95,7 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 13,
+    max_broadcast_hits: int | None = 4_000_000,
 ) -> DataFrame:
     """Flag corpus documents sharing at least one word ``n``-gram with the
     benchmark/eval set (the exact-substring decontamination rule used for
@@ -100,7 +104,19 @@ def decontaminate(
 
     The benchmark's distinct gram set is broadcast (eval sets are small);
     the corpus side is one scan + hash join + partial-agg count — nothing
-    about the corpus shuffles."""
+    about the corpus shuffles.
+
+    The second join (per-doc hit counts back onto the id relation) is
+    GUARDED: ``hits`` is bounded by the contaminated-doc count, tiny for a
+    real eval set, but a benchmark that shares boilerplate with the corpus
+    (or a mis-passed frame) makes it corpus-scale and an unconditional
+    broadcast would OOM the driver.  A ``limit(cap+1).count()`` probe (the
+    limit short-circuits, so the pathological case is cheap) picks
+    broadcast below the cap and a plain shuffle join above it.  The probe
+    costs one extra pass over the gram join in the benign case; callers
+    that KNOW the benchmark is a bounded eval set can pass
+    ``max_broadcast_hits=None`` to skip the probe and broadcast
+    unconditionally."""
     bench_grams = (
         _distinct_ngrams(benchmark, id_col, text_col, n)
         .select("gram")
@@ -113,11 +129,13 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_matched_grams"))
     )
     ids = corpus.select(F.col(id_col))
-    # hits is bounded by the CONTAMINATED doc count (tiny against a clean
-    # corpus) — broadcast it so the per-doc left join never shuffles the
-    # corpus-sized id relation either
+    if max_broadcast_hits is None:
+        right = F.broadcast(hits)
+    else:
+        n_probe = hits.limit(max_broadcast_hits + 1).count()
+        right = F.broadcast(hits) if n_probe <= max_broadcast_hits else hits
     return (
-        ids.join(F.broadcast(hits), ids[id_col] == hits._id, "left")
+        ids.join(right, ids[id_col] == hits._id, "left")
         .select(
             id_col,
             F.col("n_matched_grams").isNotNull().alias("contaminated"),
@@ -197,10 +215,18 @@ def pack_sequences(
     starts: ``seq_no = start_tok // token_budget`` — the concatenate-and-
     cut packing used to build fixed-length LM training batches.
 
-    Distributed prefix sum, no single-task window: docs group into chunks
-    of ``chunk`` ids; chunk subtotals (a tiny relation) get an unbounded
-    window; docs get a partitioned within-chunk window plus their chunk's
-    base offset.  Output: (id, n_tokens, start_tok, seq_no)."""
+    THREE-level distributed prefix sum, every window bounded: docs group
+    into chunks of ``chunk`` ids, chunks into superchunks of ``chunk``
+    chunks.  The ONLY unpartitioned window runs over superchunk subtotals
+    — n/chunk^2 rows (~6x10^4 at 10^12 docs with the default chunk=4096),
+    so no single task ever materializes more than max(chunk, n/chunk^2)
+    rows regardless of corpus size.  Chunk bases get a window partitioned
+    by superchunk (<=chunk rows per key); docs get a window partitioned by
+    chunk.  The chunk-base relation (n/chunk rows — too big to broadcast
+    at 10^12 docs) joins the corpus on ``_chunk``, the SAME key the
+    per-doc window partitions by, so the corpus shuffles exactly once and
+    the join reuses that exchange.  Output: (id, n_tokens, start_tok,
+    seq_no)."""
     t = F.col(text_col)
     n_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
         F.size(F.split(F.trim(t), r"\s+"))
@@ -209,13 +235,33 @@ def pack_sequences(
         F.col(id_col), n_tokens.alias("n_tokens"),
         (F.col(id_col) / chunk).cast("bigint").alias("_chunk"),
     )
-    chunk_totals = with_n.groupBy("_chunk").agg(F.sum("n_tokens").alias("_chunk_tokens"))
-    w_chunks = (
-        Window.orderBy("_chunk").rowsBetween(Window.unboundedPreceding, -1)
+    chunk_totals = (
+        with_n.groupBy("_chunk")
+        .agg(F.sum("n_tokens").alias("_chunk_tokens"))
+        .withColumn("_super", (F.col("_chunk") / chunk).cast("bigint"))
     )
-    chunk_base = chunk_totals.select(
-        "_chunk",
-        F.coalesce(F.sum("_chunk_tokens").over(w_chunks), F.lit(0)).alias("_base"),
+    super_totals = chunk_totals.groupBy("_super").agg(
+        F.sum("_chunk_tokens").alias("_super_tokens")
+    )
+    w_super = Window.orderBy("_super").rowsBetween(Window.unboundedPreceding, -1)
+    super_base = super_totals.select(
+        "_super",
+        F.coalesce(F.sum("_super_tokens").over(w_super), F.lit(0)).alias("_super_base"),
+    )
+    w_chunk_in = (
+        Window.partitionBy("_super")
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunk_base = (
+        chunk_totals.join(F.broadcast(super_base), "_super")
+        .select(
+            "_chunk",
+            (
+                F.col("_super_base")
+                + F.coalesce(F.sum("_chunk_tokens").over(w_chunk_in), F.lit(0))
+            ).alias("_base"),
+        )
     )
     w_in = (
         Window.partitionBy("_chunk")
@@ -223,7 +269,7 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        with_n.join(F.broadcast(chunk_base), "_chunk")
+        with_n.join(chunk_base, "_chunk")
         .select(
             id_col,
             "n_tokens",

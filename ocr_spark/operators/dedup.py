@@ -303,6 +303,16 @@ def simhash_dup_pairs(
     from itertools import combinations
 
     tables = list(combinations(range(n_blocks), n_blocks - max_hamming))
+    # The table tag lives at bit 56: key bits must stay strictly below the
+    # shift and the table number must fit the remaining 7 bits of a signed
+    # long.  Explicit wide layouts (e.g. n_blocks=8, max_hamming=1) would
+    # otherwise alias keys across tables silently.
+    max_key_bits = sum(sorted(sizes, reverse=True)[: n_blocks - max_hamming])
+    if max_key_bits >= 56 or len(tables) > 127:
+        raise ValueError(
+            f"simhash index layout too wide: {max_key_bits}-bit keys / "
+            f"{len(tables)} tables exceed the 56-bit table-tag envelope"
+        )
     keys = []
     for t_no, blocks_sel in enumerate(tables):
         key = F.lit(0).cast("long")
@@ -331,11 +341,17 @@ def simhash_dup_pairs(
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
+    # Verify BEFORE dedup: bit_count is a cheap JVM expression over columns
+    # already on the row, while dropDuplicates is an Exchange.  A pair can
+    # collide in up to C(B, B-h) tables (35 at B=7), and most candidates
+    # fail the Hamming verify — filtering first shrinks the dedup shuffle
+    # to true-positive pairs only.  hamming is deterministic per pair, so
+    # dedup after the filter yields the identical result set.
     return (
         cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 

@@ -208,7 +208,8 @@ def test_corpus_filter_decontamination_stage(spark):
 
 def test_pack_sequences_plan_has_no_global_window(spark):
     """The big-side window must be PARTITIONED (parallel); only the tiny
-    chunk-totals relation may see an unpartitioned window."""
+    SUPERCHUNK-totals relation (n/chunk^2 rows — bounded at any corpus
+    size) may see an unpartitioned window."""
     df = spark.createDataFrame(
         [(i, "a b c") for i in range(100)], "doc_id long, text string"
     )
@@ -216,7 +217,46 @@ def test_pack_sequences_plan_has_no_global_window(spark):
         pack_sequences(df, token_budget=8)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # exactly one single-partition exchange (the chunk-totals window), and
-    # a partitioned window over _chunk for the per-doc side
+    # exactly one single-partition exchange (the superchunk-totals
+    # window); partitioned windows over _super (chunk bases) and _chunk
+    # (per-doc offsets)
     assert plan.count("SinglePartition") == 1
     assert "hashpartitioning(_chunk" in plan
+    assert "hashpartitioning(_super" in plan
+
+
+def test_pack_sequences_three_level_spans_superchunks(spark):
+    """With chunk=4, 300 ids span ~75 chunks and ~19 superchunks — the
+    three-level recombination (super base + within-super chunk prefix +
+    within-chunk doc prefix) must still equal a plain global cumsum."""
+    import random
+
+    rnd = random.Random(11)
+    rows = [(i, " ".join(["x"] * rnd.randint(0, 9))) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["start_tok"]
+        for r in pack_sequences(df, token_budget=16, chunk=4).collect()
+    }
+    acc = 0
+    for i, text in sorted(rows):
+        assert got[i] == acc, i
+        acc += len(text.split())
+
+
+def test_decontaminate_pathological_benchmark_falls_back(spark):
+    """A benchmark that contaminates EVERY corpus doc makes `hits`
+    corpus-scale; the guarded broadcast must detect this and complete via
+    the shuffle-join fallback with identical results."""
+    shared = " ".join(f"w{i}" for i in range(15))
+    corpus = spark.createDataFrame(
+        [(i, shared) for i in range(40)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(0, shared)], "doc_id long, text string")
+    out = decontaminate(corpus, bench, n=13, max_broadcast_hits=5)
+    got = {r["doc_id"]: r["contaminated"] for r in out.collect()}
+    assert got == {i: True for i in range(40)}
+    # and the fallback plan really did not broadcast the hits relation on
+    # the per-doc join (the gram join still broadcasts the benchmark side)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan

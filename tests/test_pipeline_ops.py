@@ -79,6 +79,35 @@ def test_simhash_pairs(spark):
     assert (1, 3) not in pairs
 
 
+def test_simhash_rejects_layout_wider_than_tag_envelope(spark):
+    """Explicit wide layouts whose key bits reach the bit-56 table tag
+    would silently alias keys across tables — must raise, not degrade."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="table-tag envelope"):
+        simhash_dup_pairs(df, n_blocks=8, max_hamming=1).collect()
+
+
+def test_simhash_plan_verifies_before_dedup(spark):
+    """The Hamming verify (cheap JVM bit_count) must sit BELOW the
+    dropDuplicates exchange so only true-positive pairs shuffle — a pair
+    colliding in many tables would otherwise shuffle once per collision."""
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    plan = (
+        simhash_dup_pairs(df, n_blocks=4)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # optimized plan reads top-down: the Aggregate (dedup) must appear
+    # ABOVE the hamming Filter, i.e. the filter string occurs after it
+    agg_pos = plan.find("Aggregate")
+    ham_pos = plan.find("bit_count")
+    assert agg_pos != -1 and ham_pos != -1
+    assert agg_pos < ham_pos, "hamming filter must be below the dedup aggregate"
+
+
 def test_ngram_jaccard(spark):
     a = "one two three four five six"
     b = "one two three four five seven"
