@@ -405,6 +405,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce(F.col("meta.error"), F.lit("")).alias("error"),
         )
 
+    def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Real image modality: stdlib PNG decode (IHDR geometry, IDAT
+        zlib inflate, the five row unfilters, sha256 of the reconstructed
+        raw pixels) — the generator writes PNGs through the independent
+        FORWARD-filter path and the golden carries parameter-derived
+        values, so a match proves a correct codec end-to-end."""
+        from ocr_spark.operators.multimodal import decode_images
+
+        media = spark.read.parquet(f"{fix}/image.parquet")
+        m = decode_images(media)
+        return m.select(
+            "media_id",
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.col("meta.n_channels").alias("n_channels"),
+            F.col("meta.sha256").alias("sha256"),
+            F.col("meta.pixel_sha256").alias("pixel_sha256"),
+            F.coalesce(F.col("meta.error"), F.lit("")).alias("error"),
+        )
+
     # -- corpus construction ops ------------------------------------------
     def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ocr_spark.operators.corpus_ops import deterministic_sample
@@ -599,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter_near": q_corpus_filter_near,
         "audio_meta": q_audio_meta,
         "video_meta": q_video_meta,
+        "image_meta": q_image_meta,
         "sample_deterministic": q_sample_deterministic,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
@@ -946,6 +967,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, major_brand, timescale, duration_units,
                    duration_s, sha256, coalesce(error, '') AS error
             FROM '{fix}/golden_video.parquet'
+        """,
+        # image: the golden carries parameter-derived geometry plus a
+        # sha256 of the RAW PIXELS the generator forward-filtered into the
+        # PNG — matching it requires the kernel to really inflate and
+        # invert the row filters, not just read the header
+        "image_meta": f"""
+            SELECT media_id, width, height, n_channels, sha256,
+                   pixel_sha256, coalesce(error, '') AS error
+            FROM '{fix}/golden_image.parquet'
         """,
         "corpus_filter_audit": f"""
             WITH m AS ({_CF_RULES_SQL}),

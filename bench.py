@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "corpus_filter_near",
     "audio_meta",
     "video_meta",
+    "image_meta",
     "sample_deterministic",
     "decontaminate",
     "pack_sequences",

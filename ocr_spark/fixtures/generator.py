@@ -62,16 +62,16 @@ def join_blocks(blocks: list[str]) -> tuple[str, list[tuple[str, int, int]]]:
     return "\n".join(normed), spans
 
 SEED = 42
-FORMAT_VERSION = 21  # bump to force regeneration everywhere (v21: WET container fixtures)
+FORMAT_VERSION = 22  # bump to force regeneration everywhere (v22: PNG image fixtures)
 
 # bench is sized so the extraction stage runs for seconds, not hundreds of
 # milliseconds, at local[32] — otherwise the ~0.3 s fixed job floor (task
 # scheduling, result collection) dominates and the N-vs-4N scaling
 # comparison measures overhead, not the operator.
 TIERS = {
-    "tiny": {"pages": 100, "glyph_docs": 20, "attendance": 50, "warc_files": 4, "audio": 40, "video": 40},
-    "small": {"pages": 1000, "glyph_docs": 200, "attendance": 400, "warc_files": 8, "audio": 200, "video": 200},
-    "bench": {"pages": 160000, "glyph_docs": 8000, "attendance": 0, "warc_files": 0, "audio": 0, "video": 0},
+    "tiny": {"pages": 100, "glyph_docs": 20, "attendance": 50, "warc_files": 4, "audio": 40, "video": 40, "image": 40},
+    "small": {"pages": 1000, "glyph_docs": 200, "attendance": 400, "warc_files": 8, "audio": 200, "video": 200, "image": 200},
+    "bench": {"pages": 160000, "glyph_docs": 8000, "attendance": 0, "warc_files": 0, "audio": 0, "video": 0, "image": 0},
 }
 
 EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
@@ -531,6 +531,8 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
         expected += ["audio.parquet", "golden_audio.parquet"]
     if cfg.get("video"):
         expected += ["video.parquet", "golden_video.parquet"]
+    if cfg.get("image"):
+        expected += ["image.parquet", "golden_image.parquet"]
     if os.path.exists(man_path):
         with open(man_path) as f:
             # a matching manifest only counts if the tables it promises are
@@ -840,6 +842,40 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
             ),
         )
 
+    # ---- image (PNG binary column + parameter-derived golden) -----------
+    if cfg.get("image"):
+        rng = random.Random(f"{seed}-image-{tier}")
+        payloads, goldens = [], []
+        for mid in range(cfg["image"]):
+            p, g = gen_image_doc(rng, mid)
+            payloads.append(p)
+            goldens.append(g)
+        _write(
+            os.path.join(out_dir, "image.parquet"),
+            pa.table(
+                {
+                    "media_id": pa.array([g["media_id"] for g in goldens], pa.int64()),
+                    "kind": ["image"] * len(goldens),
+                    "payload": pa.array(payloads, pa.binary()),
+                    "content_type": ["image/png"] * len(goldens),
+                }
+            ),
+        )
+        _write(
+            os.path.join(out_dir, "golden_image.parquet"),
+            pa.table(
+                {
+                    "media_id": pa.array([g["media_id"] for g in goldens], pa.int64()),
+                    "width": pa.array([g["width"] for g in goldens], pa.int32()),
+                    "height": pa.array([g["height"] for g in goldens], pa.int32()),
+                    "n_channels": pa.array([g["n_channels"] for g in goldens], pa.int32()),
+                    "sha256": [g["sha256"] for g in goldens],
+                    "pixel_sha256": [g["pixel_sha256"] for g in goldens],
+                    "error": [g["error"] for g in goldens],
+                }
+            ),
+        )
+
     with open(man_path, "w") as f:
         json.dump(manifest, f)
     return manifest
@@ -998,6 +1034,156 @@ def gen_video_doc(rng: random.Random, media_id: int) -> tuple[bytes | None, dict
         "sha256": hashlib.sha256(payload).hexdigest(),
         "error": None,
     }
+
+
+# ---------------------------------------------------------------------------
+# image fixtures — real PNG bytes built chunk-by-chunk with the FORWARD row
+# filters; the kernel (multimodal._png_decode) inflates and applies the
+# INVERSE filters — independent code paths (the forward transform is a
+# plain per-byte subtraction against original neighbors, the inverse is a
+# sequential reconstruction).  Goldens (geometry + sha256 of the raw pixel
+# bytes) derive from the generator's PARAMETERS, never from parsing.
+# ---------------------------------------------------------------------------
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CTYPE_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(btype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + btype
+        + body
+        + struct.pack(">I", zlib.crc32(btype + body))
+    )
+
+
+def _png_ihdr(w: int, h: int, depth: int, ctype: int, interlace: int) -> bytes:
+    import struct
+
+    return _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace))
+
+
+def _png_filter_rows(pixels: bytes, w: int, h: int, ch: int, rng: random.Random) -> bytearray:
+    """Forward-filter each scanline with a type drawn from 0-4, exercising
+    every inverse in the kernel.  Per PNG spec the predictors read the
+    ORIGINAL bytes of the current/prior rows, so this direction has no
+    recurrence — structurally different code from the decoder's
+    reconstruction loop."""
+    stride = w * ch
+    out = bytearray()
+    prior = bytes(stride)
+    for r in range(h):
+        row = pixels[r * stride : (r + 1) * stride]
+        ftype = rng.randint(0, 4)
+        out.append(ftype)
+        if ftype == 0:
+            out += row
+        else:
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                b = prior[i]
+                c = prior[i - ch] if i >= ch else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((row[i] - pred) & 0xFF)
+        prior = row
+    return out
+
+
+def gen_image_doc(rng: random.Random, media_id: int) -> tuple[bytes | None, dict]:
+    """Returns (payload, golden-metadata dict): ~60% valid 8-bit PNGs
+    across all four supported color types with per-row filters 0-4; the
+    rest exercise the per-row error taxonomy (empty, junk, cut IHDR,
+    interlaced/16-bit/palette headers, corrupted zlib stream, invalid
+    filter byte, truncated scanlines)."""
+    import hashlib
+    import zlib
+
+    def zeros(err: str, sha: str = "") -> dict:
+        return {
+            "media_id": media_id, "width": 0, "height": 0, "n_channels": 0,
+            "sha256": sha, "pixel_sha256": "", "error": err,
+        }
+
+    roll = rng.random()
+    if roll < 0.04:
+        return None, zeros("EMPTY_INPUT")
+    if roll < 0.08:
+        return b"", zeros("EMPTY_INPUT")
+    if roll < 0.13:
+        junk = b"NOPE" + bytes(rng.getrandbits(8) for _ in range(rng.randint(8, 64)))
+        return junk, zeros("NOT_PNG", hashlib.sha256(junk).hexdigest())
+
+    ctype = rng.choice((0, 2, 4, 6))
+    ch = _PNG_CTYPE_CHANNELS[ctype]
+    w, h = rng.randint(1, 48), rng.randint(2, 32)
+    pixels = bytes(rng.getrandbits(8) for _ in range(w * h * ch))
+    filtered = _png_filter_rows(pixels, w, h, ch, rng)
+
+    def assemble(ihdr: bytes, idat_body: bytes) -> bytes:
+        return _PNG_SIG + ihdr + _png_chunk(b"IDAT", idat_body) + _png_chunk(b"IEND", b"")
+
+    base = {
+        "media_id": media_id, "width": w, "height": h, "n_channels": ch,
+        "sha256": "", "pixel_sha256": "", "error": None,
+    }
+    if roll < 0.17:  # IHDR chunk cut short: header never parses
+        payload = _PNG_SIG + _png_ihdr(w, h, 8, ctype, 0)[:12]
+        return payload, zeros("BAD_IHDR", hashlib.sha256(payload).hexdigest())
+    if roll < 0.21:  # interlaced header (Adam7 stays a codec boundary)
+        payload = assemble(_png_ihdr(w, h, 8, ctype, 1), zlib.compress(bytes(filtered)))
+        base.update(sha256=hashlib.sha256(payload).hexdigest(), error="UNSUPPORTED")
+        return payload, base
+    if roll < 0.24:  # 16-bit depth header
+        payload = assemble(_png_ihdr(w, h, 16, ctype, 0), zlib.compress(bytes(filtered)))
+        base.update(sha256=hashlib.sha256(payload).hexdigest(), error="UNSUPPORTED")
+        return payload, base
+    if roll < 0.27:  # palette color (indices, 1 sample/pixel)
+        payload = assemble(_png_ihdr(w, h, 8, 3, 0), zlib.compress(pixels[: w * h]))
+        base.update(n_channels=1, sha256=hashlib.sha256(payload).hexdigest(), error="UNSUPPORTED")
+        return payload, base
+    if roll < 0.31:  # corrupted compressed stream: inflate must fail
+        idat = bytearray(zlib.compress(bytes(filtered)))
+        idat[len(idat) // 2] ^= 0xFF
+        payload = assemble(_png_ihdr(w, h, 8, ctype, 0), bytes(idat))
+        base.update(sha256=hashlib.sha256(payload).hexdigest(), error="DECODE_ERROR")
+        return payload, base
+    if roll < 0.34:  # an invalid filter byte inside a valid zlib stream
+        stride = w * ch
+        filtered[rng.randrange(h) * (1 + stride)] = 9
+        payload = assemble(_png_ihdr(w, h, 8, ctype, 0), zlib.compress(bytes(filtered)))
+        base.update(sha256=hashlib.sha256(payload).hexdigest(), error="DECODE_ERROR")
+        return payload, base
+    if roll < 0.39:  # only k < h complete scanlines present
+        k = rng.randint(1, h - 1)
+        stride = w * ch
+        payload = assemble(
+            _png_ihdr(w, h, 8, ctype, 0),
+            zlib.compress(bytes(filtered[: k * (1 + stride)])),
+        )
+        base.update(
+            sha256=hashlib.sha256(payload).hexdigest(),
+            pixel_sha256=hashlib.sha256(pixels[: k * stride]).hexdigest(),
+            error="TRUNCATED",
+        )
+        return payload, base
+    payload = assemble(_png_ihdr(w, h, 8, ctype, 0), zlib.compress(bytes(filtered)))
+    base.update(
+        sha256=hashlib.sha256(payload).hexdigest(),
+        pixel_sha256=hashlib.sha256(pixels).hexdigest(),
+    )
+    return payload, base
 
 
 def _warc_record(

@@ -1,11 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested; the actual codec work is stubbed — the
-image/audio libraries are not in this container, so ``decode_image_udf``
-raises ``NotImplementedError`` unless ``deterministic_fake=True``, in which
-case a seeded fake decoder produces stable metadata from the bytes alone
-(so the distributed path is exercised end-to-end).
+All three modalities decode for REAL with stdlib-only parsers (no codec
+libraries exist in this container): PNG via ``struct`` + ``zlib`` inflate +
+the five PNG row unfilters, WAV via a manual RIFF chunk walk, MP4 via an
+ISO-BMFF box walk.  Each kernel's counterpart in the fixture generator
+WRITES the format through an independent code path (forward filters vs
+inverse filters, stdlib ``wave`` writer vs manual RIFF parse, box builder
+vs box walker) and the goldens derive from generator PARAMETERS, never
+from parsing — so an oracle match is evidence of a correct codec, not a
+shared bug.  Per-row error taxonomies throughout (E6 semantics: errors
+recorded in the row, never raised).
 """
 
 from __future__ import annotations
@@ -32,6 +36,7 @@ IMAGE_META_TYPE = T.StructType(
         T.StructField("height", T.IntegerType(), False),
         T.StructField("n_channels", T.IntegerType(), False),
         T.StructField("sha256", T.StringType(), False),
+        T.StructField("pixel_sha256", T.StringType(), False),
         T.StructField("error", T.StringType(), True),
     ]
 )
@@ -39,7 +44,10 @@ IMAGE_META_TYPE = T.StructType(
 
 def _fake_decode(payload: bytes | None) -> dict:
     if payload is None or len(payload) == 0:
-        return {"width": 0, "height": 0, "n_channels": 0, "sha256": "", "error": "EMPTY_INPUT"}
+        return {
+            "width": 0, "height": 0, "n_channels": 0,
+            "sha256": "", "pixel_sha256": "", "error": "EMPTY_INPUT",
+        }
     h = hashlib.sha256(payload).hexdigest()
     # deterministic fake geometry derived from the digest
     return {
@@ -47,59 +55,156 @@ def _fake_decode(payload: bytes | None) -> dict:
         "height": 64 + int(h[4:8], 16) % 1984,
         "n_channels": 1 + int(h[8], 16) % 4,
         "sha256": h,
+        "pixel_sha256": "",
         "error": None,
     }
 
 
-def _pil_decode(payload: bytes | None) -> dict:
-    """Real decode via PIL when the library is importable (per-row errors
-    captured in the struct, never raised — E6 semantics)."""
-    import io
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> sample channels (3 = palette indices, 1 sample/pixel)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
-    from PIL import Image
 
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int):
+    """Invert the five PNG row filters (None/Sub/Up/Average/Paeth,
+    spec §9) over the inflated scanline stream.  Returns
+    ``(pixels, n_rows, error)`` — ``pixels`` is the reconstructed
+    row-major channel-interleaved byte string for the rows actually
+    present (``n_rows < height`` means a truncated stream; the caller
+    flags it, mirroring the WAV parser's available-frames semantics)."""
+    stride = width * channels
+    bpp = channels  # bit depth 8: one byte per sample
+    n_rows = min(height, len(raw) // (1 + stride))
+    prior = bytearray(stride)
+    out = bytearray()
+    pos = 0
+    for _ in range(n_rows):
+        ftype = raw[pos]
+        row = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub: left neighbor (reconstructed)
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up: prior row (reconstructed)
+            for i in range(stride):
+                row[i] = (row[i] + prior[i]) & 0xFF
+        elif ftype == 3:  # Average: floor((left + up) / 2)
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth predictor over (left, up, up-left)
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            # bare code, no detail: goldens are parameter-predicted and
+            # must match the kernel's output byte-for-byte
+            return None, 0, "DECODE_ERROR"
+        out += row
+        prior = row
+    return bytes(out), n_rows, None
+
+
+def _png_decode(payload: bytes | None) -> dict:
+    """Real PNG parse/decode — pure stdlib ``struct`` + ``zlib``, no codec
+    library.  IHDR geometry, IDAT inflate, the five row unfilters, and a
+    sha256 over the reconstructed raw pixel bytes (the byte-identity proof
+    that the decode is real — geometry alone could be read off the header
+    without ever touching the filters).  The fixture generator writes the
+    FORWARD filters through an independent code path and the goldens carry
+    parameter-derived values (fixtures/generator.py::gen_image_doc).
+    Reference analogue: the media-URI ingestion boundary,
+    extract-data-from-pdf.ts:116-131.  Per-row error taxonomy:
+
+      EMPTY_INPUT / NOT_PNG / BAD_IHDR — structural failures;
+      UNSUPPORTED — IHDR parses (geometry reported) but the layout is a
+        codec boundary: bit depth != 8, palette color, interlacing, or a
+        nonzero compression/filter method;
+      NO_IDAT — chunk walk found no pixel data;
+      DECODE_ERROR — zlib inflate failed or a filter byte is invalid;
+      TRUNCATED — fewer complete scanlines than IHDR's height:
+        pixel_sha256 covers the rows actually reconstructed.
+    """
+    import struct
+    import zlib
+
+    out = {
+        "width": 0, "height": 0, "n_channels": 0,
+        "sha256": "", "pixel_sha256": "", "error": None,
+    }
     if payload is None or len(payload) == 0:
-        return {"width": 0, "height": 0, "n_channels": 0, "sha256": "", "error": "EMPTY_INPUT"}
-    h = hashlib.sha256(payload).hexdigest()
+        out["error"] = "EMPTY_INPUT"
+        return out
+    out["sha256"] = hashlib.sha256(payload).hexdigest()
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        out["error"] = "NOT_PNG"
+        return out
+    if len(payload) < 8 + 8 + 13 or payload[12:16] != b"IHDR":
+        out["error"] = "BAD_IHDR"
+        return out
+    (ihdr_len,) = struct.unpack_from(">I", payload, 8)
+    if ihdr_len != 13:
+        out["error"] = "BAD_IHDR"
+        return out
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack_from(
+        ">IIBBBBB", payload, 16
+    )
+    if ctype not in _PNG_CHANNELS or w == 0 or h == 0:
+        out["error"] = "BAD_IHDR"
+        return out
+    ch = _PNG_CHANNELS[ctype]
+    out.update(width=w, height=h, n_channels=ch)
+    if depth != 8 or ctype == 3 or comp != 0 or filt != 0 or interlace != 0:
+        out["error"] = "UNSUPPORTED"
+        return out
+    # chunk walk: 4-byte BE length, 4-byte type, body, 4-byte CRC (not
+    # validated — same stance as the WAV parser toward RIFF padding)
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        kind = payload[pos + 4 : pos + 8]
+        if pos + 8 + ln > len(payload):
+            break  # cut mid-chunk: keep only complete chunks
+        if kind == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + ln]
+        elif kind == b"IEND":
+            break
+        pos += 8 + ln + 4
+    if not idat:
+        out["error"] = "NO_IDAT"
+        return out
     try:
-        with Image.open(io.BytesIO(payload)) as img:
-            return {
-                "width": int(img.width),
-                "height": int(img.height),
-                "n_channels": len(img.getbands()),
-                "sha256": h,
-                "error": None,
-            }
-    except Exception as e:  # noqa: BLE001 — per-row error channel
-        return {
-            "width": 0,
-            "height": 0,
-            "n_channels": 0,
-            "sha256": h,
-            "error": f"DECODE_ERROR: {type(e).__name__}",
-        }
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        out["error"] = "DECODE_ERROR"
+        return out
+    pixels, n_rows, err = _png_unfilter(raw, w, h, ch)
+    if err is not None:
+        out["error"] = err
+        return out
+    out["pixel_sha256"] = hashlib.sha256(pixels).hexdigest()
+    if n_rows < h:
+        out["error"] = "TRUNCATED"
+    return out
 
 
-def _have_pil() -> bool:
-    try:
-        import PIL  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
-def decode_images(
-    media: DataFrame, deterministic_fake: bool = False, batch_schema: str | None = None
-) -> DataFrame:
+def decode_images(media: DataFrame, deterministic_fake: bool = False) -> DataFrame:
     """image rows -> decoded metadata via mapInPandas (Arrow batches carry
     the binary payload; no base64, reference S3 eliminated).
 
-    Decoder resolution: ``deterministic_fake=True`` always uses the seeded
-    fake; otherwise PIL is used when importable (optional dependency —
-    try-imported on the EXECUTOR, where decoding runs), and when it is
-    genuinely absent the stage raises NotImplementedError at execution
-    time, documenting exactly where the codec plugs in.
+    The default decoder is the REAL stdlib PNG parser (:func:`_png_decode`
+    — inflate + unfilter + pixel digest, per-row errors, nothing raised);
+    ``deterministic_fake=True`` keeps the seeded fake that produces stable
+    metadata from the bytes alone, for plumbing tests that want arbitrary
+    payloads without constructing valid PNGs.
     """
     out_schema = T.StructType(
         [
@@ -109,15 +214,7 @@ def decode_images(
     )
 
     def fn(batches):
-        decoder = _fake_decode
-        if not deterministic_fake:
-            if not _have_pil():
-                raise NotImplementedError(
-                    "image decoding requires PIL/libvips — not in this "
-                    "container; pass deterministic_fake=True to exercise "
-                    "the pipeline"
-                )
-            decoder = _pil_decode
+        decoder = _fake_decode if deterministic_fake else _png_decode
         for pdf in batches:
             yield pd.DataFrame(
                 {
@@ -345,8 +442,10 @@ def decode_videos(media: DataFrame) -> DataFrame:
 
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: explodes frame indexes JVM-side from
-    (stubbed) duration metadata; the decode itself is the same
-    NotImplementedError boundary as images."""
+    size-derived frame-count metadata; per-frame pixel decode is the one
+    remaining codec boundary (video bitstreams need a real codec library,
+    unlike the container metadata which ``decode_videos`` parses for
+    real)."""
     return (
         media.filter(F.col("kind") == "video")
         .withColumn("n_frames", (F.length("payload") / 1024).cast("int"))

@@ -247,12 +247,56 @@ def test_multimodal_fake_decode(spark):
     assert again["meta"]["sha256"] == out[1]["sha256"]
 
 
-def test_multimodal_stub_raises_without_fake(spark):
-    media = spark.createDataFrame(
-        [Row(media_id=1, kind="image", payload=b"x", content_type="image/png")]
-    )
-    with pytest.raises(Exception, match="NotImplementedError|image decoding"):
-        decode_images(media, deterministic_fake=False).collect()
+def test_png_decode_kernel_taxonomy():
+    """Pure-kernel PNG decode: a hand-built file (signature + IHDR + IDAT
+    with known filters) round-trips geometry AND raw-pixel sha256; every
+    malformed shape lands in the error channel with the right code; the
+    kernel NEVER raises (E6)."""
+    import hashlib
+    import struct
+    import zlib
+
+    from ocr_spark.operators.multimodal import _png_decode
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(">I", zlib.crc32(t + b))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 3x2 RGB, row filters Sub then Up, pixels 0..17
+    pixels = bytes(range(18))
+    row0, row1 = pixels[:9], pixels[9:]
+    f0 = bytes([1]) + row0[:3] + bytes((row0[i] - row0[i - 3]) & 0xFF for i in range(3, 9))
+    f1 = bytes([2]) + bytes((row1[i] - row0[i]) & 0xFF for i in range(9))
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0))
+    png = sig + ihdr + chunk(b"IDAT", zlib.compress(f0 + f1)) + chunk(b"IEND", b"")
+
+    ok = _png_decode(png)
+    assert ok["error"] is None
+    assert (ok["width"], ok["height"], ok["n_channels"]) == (3, 2, 3)
+    assert ok["pixel_sha256"] == hashlib.sha256(pixels).hexdigest()
+
+    assert _png_decode(None)["error"] == "EMPTY_INPUT"
+    assert _png_decode(b"")["error"] == "EMPTY_INPUT"
+    assert _png_decode(b"GIF89a notapng")["error"] == "NOT_PNG"
+    assert _png_decode(png[:20])["error"] == "BAD_IHDR"
+
+    interlaced = chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 1))
+    un = _png_decode(sig + interlaced + chunk(b"IDAT", zlib.compress(f0 + f1)))
+    assert un["error"] == "UNSUPPORTED" and (un["width"], un["height"]) == (3, 2)
+
+    assert _png_decode(sig + ihdr + chunk(b"IEND", b""))["error"] == "NO_IDAT"
+    assert _png_decode(sig + ihdr + chunk(b"IDAT", b"\x01corrupt"))["error"] == "DECODE_ERROR"
+
+    badf = bytes([7]) + row0 + f1
+    assert _png_decode(sig + ihdr + chunk(b"IDAT", zlib.compress(badf)))["error"] == "DECODE_ERROR"
+
+    trunc = _png_decode(sig + ihdr + chunk(b"IDAT", zlib.compress(f0)))
+    assert trunc["error"] == "TRUNCATED"
+    assert trunc["pixel_sha256"] == hashlib.sha256(row0).hexdigest()
+
+    # never raises on arbitrary prefixes of a valid file
+    for cut in range(0, len(png), 3):
+        _png_decode(png[:cut])
 
 
 def test_frame_sample_plan(spark):
@@ -847,33 +891,56 @@ def test_media_parsers_never_raise_fuzz():
         _mp4_decode(b)
 
 
-def test_multimodal_pil_path_when_available(spark):
-    """When PIL is importable the real decoder is used (tiny valid PNG
-    decodes; garbage bytes land in the per-row error channel, never raise);
-    when PIL is absent the stub boundary is asserted elsewhere."""
-    import pytest as _pytest
-
-    from ocr_spark.operators.multimodal import _have_pil
-
-    if not _have_pil():
-        _pytest.skip("PIL genuinely absent — stub boundary covered by test_multimodal_stub_raises_without_fake")
-    import io
-
-    from PIL import Image
-
-    buf = io.BytesIO()
-    Image.new("RGB", (5, 3)).save(buf, format="PNG")
-    rows = [
-        Row(media_id=1, kind="image", payload=buf.getvalue(), content_type="image/png"),
-        Row(media_id=2, kind="image", payload=b"garbage", content_type="image/png"),
-    ]
-    out = {
-        r["media_id"]: r["meta"]
-        for r in decode_images(spark.createDataFrame(rows), deterministic_fake=False).collect()
+def test_image_decode_matches_parameter_golden(spark, tiny_dir):
+    """decode_images over the PNG fixture == the generator's parameter-
+    derived golden on EVERY field, including the raw-pixel sha256 — the
+    generator forward-filters (no recurrence), the kernel inverse-filters
+    (sequential reconstruction); a pixel-digest match proves the inflate +
+    unfilter path is correct, not just the header read."""
+    media = spark.read.parquet(f"{tiny_dir}/image.parquet")
+    got = {
+        r["media_id"]: (
+            r["meta"]["width"], r["meta"]["height"], r["meta"]["n_channels"],
+            r["meta"]["sha256"], r["meta"]["pixel_sha256"], r["meta"]["error"],
+        )
+        for r in decode_images(media).collect()
     }
-    assert (out[1]["width"], out[1]["height"], out[1]["n_channels"]) == (5, 3, 3)
-    assert out[1]["error"] is None
-    assert out[2]["error"].startswith("DECODE_ERROR")
+    want = {
+        r["media_id"]: (
+            r["width"], r["height"], r["n_channels"],
+            r["sha256"], r["pixel_sha256"], r["error"],
+        )
+        for r in spark.read.parquet(f"{tiny_dir}/golden_image.parquet").collect()
+    }
+    assert got == want
+    # the fixture mix must include real decodes AND error-taxonomy rows
+    # (the full 7-code coverage is asserted generator-side below)
+    errs = {v[5] for v in want.values()}
+    assert None in errs and len(errs - {None}) >= 2
+    assert any(v[5] is None and v[4] for v in want.values())
+
+
+def test_png_generator_kernel_agree_across_taxonomy():
+    """Property sweep: 400 generated PNG docs (independent forward-filter
+    writer) decode to EXACTLY their parameter-derived goldens, and the
+    sweep exercises every taxonomy code including TRUNCATED."""
+    import random
+
+    from ocr_spark.fixtures.generator import gen_image_doc
+    from ocr_spark.operators.multimodal import _png_decode
+
+    rng = random.Random("png-prop-7")
+    seen = set()
+    for mid in range(400):
+        payload, golden = gen_image_doc(rng, mid)
+        got = _png_decode(payload)
+        got["media_id"] = mid
+        assert got == golden, (mid, golden, got)
+        seen.add(golden["error"])
+    assert seen == {
+        None, "EMPTY_INPUT", "NOT_PNG", "BAD_IHDR",
+        "UNSUPPORTED", "DECODE_ERROR", "TRUNCATED",
+    }
 
 
 def test_minhash_estimate_tracks_exact_jaccard(spark):
