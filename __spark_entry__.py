@@ -113,6 +113,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("error").isNotNull().alias("has_error"),
         )
 
+    def q_stream_extract_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Structured Streaming ingestion, oracle-checked at its END STATE:
+        the fixture pages are sharded into files, drained with
+        ``availableNow`` through readStream -> extract -> foreachBatch
+        icelite MERGE (several microbatch epochs, checkpointed), and the
+        final table must equal the batch golden — the incremental path
+        isn't SQL-expressible but its fixpoint is plain SQL."""
+        import tempfile
+
+        from ocr_spark.sources.icelite import IceliteTable
+        from ocr_spark.streaming.extract_stream import run_stream_once
+
+        work = tempfile.mkdtemp(prefix="stream_extract_state_")
+        inp = os.path.join(work, "in")
+        spark.read.parquet(f"{fix}/pages.parquet").repartition(12).write.mode(
+            "overwrite"
+        ).parquet(inp)
+        out = IceliteTable(os.path.join(work, "table"), key_col="url", n_buckets=8)
+        run_stream_once(spark, inp, out, os.path.join(work, "ckpt"))
+        return out.read(spark).select(
+            "url",
+            "text",
+            F.col("n_blocks").cast("bigint").alias("n_blocks"),
+            F.col("error").isNotNull().alias("has_error"),
+        )
+
     def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         pages = spark.read.parquet(f"{fix}/pages.parquet")
         ext = extract_pages(pages).select("url", F.explode("spans").alias("s"))
@@ -596,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     raw = {
         "extract_html": q_extract_html,
+        "stream_extract_state": q_stream_extract_state,
         "extract_spans": q_extract_spans,
         "extract_layout": q_extract_layout,
         "layout_doc_spans": q_layout_doc_spans,
@@ -795,6 +822,13 @@ def oracle_sql() -> dict[str, str]:
         # extraction vs GOLDEN fixtures: a value-hash match here IS the
         # byte-identical-text check, run through the driver's own comparator
         "extract_html": f"""
+            SELECT url, text, CAST(n_blocks AS BIGINT) AS n_blocks,
+                   expect_error AS has_error
+            FROM '{gp}'
+        """,
+        # streaming ingestion's END STATE: availableNow drain + idempotent
+        # merge must land exactly the batch golden, one row per url
+        "stream_extract_state": f"""
             SELECT url, text, CAST(n_blocks AS BIGINT) AS n_blocks,
                    expect_error AS has_error
             FROM '{gp}'

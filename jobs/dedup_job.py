@@ -143,6 +143,11 @@ def main(argv: list[str] | None = None) -> dict:
     except IceliteError as e:
         print(f"error: table layout rejected: {e}", file=sys.stderr)
         raise SystemExit(4) from None
+    except ValueError as e:
+        # stale/config-drifted signature table (materialize_minhash_signatures)
+        # — a layout rejection like the icelite ones, same exit code
+        print(f"error: table rejected: {e}", file=sys.stderr)
+        raise SystemExit(4) from None
     print(json.dumps(stats))
     return stats
 

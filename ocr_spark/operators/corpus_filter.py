@@ -142,21 +142,38 @@ def corpus_filter(
 
             from ocr_spark.operators.dedup import materialize_minhash_signatures
 
-            # the doc set the signatures cover is a function of the filter
-            # configuration — fingerprint it so a rerun with different
-            # rules/langs/benchmark refuses the stale table (plus the
-            # count check inside materialize for input drift)
+            # the doc set the signatures cover is a function of (raw
+            # input, filter configuration, benchmark CONTENT) — fingerprint
+            # all three so a rerun with different rules/langs, a drifted
+            # corpus, or a swapped same-cardinality benchmark refuses the
+            # stale table.  Identity is count-based on the CHEAP relations
+            # (raw input scan; one aggregate over the small benchmark), so
+            # materialize can skip its own drift count, which would
+            # re-execute this whole filter pipeline on every reuse.
+            bench_digest = None
+            if benchmark is not None:
+                b = benchmark.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.crc32(F.col(text_col).cast("binary"))).alias("h"),
+                ).collect()[0]
+                bench_digest = [int(b["n"]), int(b["h"] or 0)]
             token = _json.dumps(
                 {
                     "rules": {k: r[k] for k in sorted(r)},
                     "langs": sorted(langs) if langs else None,
-                    "benchmark": benchmark is not None,
+                    "input_docs": df.count(),
+                    "benchmark": bench_digest,
                     "decont_n": decont_n if benchmark is not None else None,
                 },
                 sort_keys=True,
             )
             sigs = materialize_minhash_signatures(
-                kept_ids, signatures_table, id_col, text_col, dataset_token=token
+                kept_ids,
+                signatures_table,
+                id_col,
+                text_col,
+                dataset_token=token,
+                check_count=False,
             )
         pairs = minhash_dup_pairs(
             kept_ids, id_col, text_col, threshold=near_threshold, signatures=sigs

@@ -100,6 +100,7 @@ def materialize_minhash_signatures(
     num_perm: int = 64,
     bands: int = 16,
     dataset_token: str | None = None,
+    check_count: bool = True,
 ) -> DataFrame:
     """Compute minhash signatures and persist them to an icelite table
     (atomic commit), returning the materialized relation.  If the table
@@ -118,9 +119,17 @@ def materialize_minhash_signatures(
     validated on reuse.  A stale table whose doc set drifted from ``df``
     would silently mis-cluster: docs without a signature row never enter
     the banded join, and a pair whose min-id member left the corpus drops
-    the survivor as a 'duplicate' of a ghost.  Reuse additionally checks
-    the table's row count against ``df.count()`` (cheap on the reuse path)
-    to catch input drift the token can't see."""
+    the survivor as a 'duplicate' of a ghost.
+
+    ``check_count``: with the default True, reuse also compares the
+    table's row count against ``df.count()`` to catch input drift the
+    token can't see — note that count RE-EXECUTES ``df``'s upstream plan
+    once per reuse call, so a caller whose upstream is expensive (e.g. the
+    full rules+dedup pipeline in ``corpus_filter``) should instead fold
+    the input's content identity (raw count / config digest) into
+    ``dataset_token`` and pass ``check_count=False``; the protection is
+    equivalent (both are count-equality checks) but paid on the CHEAP raw
+    relation rather than the filtered one."""
     spark = df.sparkSession
     if table.exists() and table.row_count() > 0:
         # reuse only a table built with the SAME parameters — 64-wide
@@ -144,13 +153,14 @@ def materialize_minhash_signatures(
                 f"signature table {table.root} was built with {stored}, "
                 f"requested {want} — drop the table to rebuild"
             )
-        n_df, n_tbl = df.count(), table.row_count()
-        if n_df != n_tbl:
-            raise ValueError(
-                f"signature table {table.root} holds {n_tbl} signatures but "
-                f"the input has {n_df} docs — the doc set drifted since the "
-                "table was built; drop the table to rebuild"
-            )
+        if check_count:
+            n_df, n_tbl = df.count(), table.row_count()
+            if n_df != n_tbl:
+                raise ValueError(
+                    f"signature table {table.root} holds {n_tbl} signatures but "
+                    f"the input has {n_df} docs — the doc set drifted since the "
+                    "table was built; drop the table to rebuild"
+                )
         return table.read(spark)
     sigs = minhash_signatures(df, id_col, text_col, num_perm, bands)
     table.append(
@@ -359,6 +369,76 @@ def simhash_dup_pairs(
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (SQL-expressible -> DuckDB oracle)
 # ---------------------------------------------------------------------------
+def materialize_ngram_grams(
+    df: DataFrame,
+    table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    dataset_token: str | None = None,
+) -> DataFrame:
+    """Explode the corpus's distinct word n-grams and persist the
+    ``(doc_id, gram)`` relation to an icelite table (atomic commit),
+    returning the materialized relation — the 100 TB path for
+    :func:`ngram_jaccard_pairs`: the gram relation feeds four consumers,
+    and an executor-memory ``.cache()`` of it does not survive restarts or
+    fit memory at web scale (the same argument as
+    :func:`materialize_minhash_signatures` for signatures).
+
+    Reuse semantics mirror the signature table: a committed snapshot built
+    with the same ``(n, dataset_token)`` is returned as-is (a rerun
+    recomputes nothing); a parameter or token mismatch raises.  Input
+    drift is caught by comparing ``df.count()`` against the INPUT doc
+    count recorded in the build snapshot's metadata (the gram row count
+    itself is not comparable to the doc count).  Note the drift check
+    re-executes ``df``'s upstream plan once per reuse — callers with an
+    expensive upstream should fold a content digest into
+    ``dataset_token`` and keep the table dropped-on-change instead.
+    """
+    from ocr_spark.operators.corpus_ops import exploded_word_ngrams
+
+    spark = df.sparkSession
+    if table.exists() and table.row_count() > 0:
+        stored = next(
+            (
+                {
+                    "n": s.metadata["n"],
+                    "dataset_token": s.metadata.get("dataset_token"),
+                    "input_docs": s.metadata.get("input_docs"),
+                }
+                for s in table.snapshots()
+                if s.metadata.get("op") == "ngram_grams"
+            ),
+            None,
+        )
+        if stored is None or stored["n"] != n or stored["dataset_token"] != dataset_token:
+            raise ValueError(
+                f"gram table {table.root} was built with {stored}, requested "
+                f"n={n} dataset_token={dataset_token} — drop the table to rebuild"
+            )
+        n_df = df.count()
+        if n_df != stored["input_docs"]:
+            raise ValueError(
+                f"gram table {table.root} was built over {stored['input_docs']} "
+                f"docs but the input has {n_df} — the doc set drifted since "
+                "the table was built; drop the table to rebuild"
+            )
+        return table.read(spark)
+    grams = exploded_word_ngrams(df, id_col, text_col, n, out_id="doc_id")
+    table.append(
+        grams,
+        metadata={
+            "op": "ngram_grams",
+            "n": n,
+            "dataset_token": dataset_token,
+            "input_docs": df.count(),
+        },
+    )
+    if table.row_count() == 0:  # empty input: nothing landed, nothing to read
+        return grams
+    return table.read(spark)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -366,6 +446,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_gram_df: int = 100,
+    grams_table=None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard over candidate pairs, with gram
     document-frequency pruning so the gram equi-join is bounded at scale.
@@ -382,18 +463,25 @@ def ngram_jaccard_pairs(
     Declarative throughout: explode distinct n-grams, prune, equi-join on
     gram, count intersections, |A∪B| = |A|+|B|-|A∩B| — no UDFs.
 
-    The exploded gram relation is ``.cache()``d: it feeds FOUR consumers
-    (DF pass, per-doc sizes, both self-join sides), and the gram-building
-    expression (interpreted higher-order ``transform`` + ``slice``) is the
-    dominant cost — uncached, the plan re-evaluated it ~8x per document
-    (measured 30 s -> ~4 s at sf0.1).  The cached relation is (doc_id,
-    gram) only; at 100 TB materialize it to a table instead (same shape as
-    the minhash ``signatures_table``).  Caller owns the cache lifecycle in
-    long-lived sessions (bench.py clearCache()s between queries).
+    The exploded gram relation feeds FOUR consumers (DF pass, per-doc
+    sizes, both self-join sides), and the gram-building expression
+    (interpreted higher-order ``transform`` + ``slice``) is the dominant
+    cost — re-evaluated per consumer it ran ~8x per document (measured
+    30 s -> ~4 s at sf0.1 once shared).  Sharing strategy: pass
+    ``grams_table`` (an icelite table — see
+    :func:`materialize_ngram_grams`) to persist-and-reuse the relation,
+    the 100 TB path (executor caches don't survive restarts or fit memory
+    at web scale, and reruns recompute nothing that committed); without
+    it the relation is ``.cache()``d and the caller owns the cache
+    lifecycle in long-lived sessions (bench.py clearCache()s between
+    queries).
     """
     from ocr_spark.operators.corpus_ops import exploded_word_ngrams
 
-    flat_all = exploded_word_ngrams(df, id_col, text_col, n, out_id="doc_id").cache()
+    if grams_table is not None:
+        flat_all = materialize_ngram_grams(df, grams_table, id_col, text_col, n)
+    else:
+        flat_all = exploded_word_ngrams(df, id_col, text_col, n, out_id="doc_id").cache()
     hot = (
         flat_all.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("gram_df"))

@@ -66,10 +66,12 @@ class ExtractionPipeline:
           the input out as an icelite table to get pruning.
         """
         if isinstance(pages, IceliteTable):
-            if pages.n_buckets != self.n_buckets:
+            if pages.n_buckets != self.n_buckets or pages.key_col != "url":
                 raise ValueError(
-                    f"input table has {pages.n_buckets} buckets, pipeline "
-                    f"expects {self.n_buckets} — bucket ids would not align"
+                    f"input table is keyed ({pages.key_col!r}, "
+                    f"{pages.n_buckets} buckets), pipeline expects ('url', "
+                    f"{self.n_buckets}) — bucket ids would not align with "
+                    "url processing groups"
                 )
             return pages.read(spark, buckets=group)
         return pages.filter(bucket_expr("url", self.n_buckets).isin(group))

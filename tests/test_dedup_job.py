@@ -63,12 +63,15 @@ def test_dedup_job_stricter_rerun_replaces_output(spark, tmp_path):
     assert s2["reasons"].get("kept", 0) == s2["docs_kept"]
 
     # signature table is config-fingerprinted: a rerun with different
-    # rules refuses the stale relation instead of mis-clustering
+    # rules refuses the stale relation instead of mis-clustering — and the
+    # refusal lands in the CLI's documented exit-code taxonomy (4 = table
+    # layout rejection), not a raw traceback
     sigs = str(tmp_path / "sigs")
     nd = base + ["--near-dedup", "--signatures", sigs]
     main(nd + ["--min-chars", "10"])
-    with _pytest.raises(ValueError, match="signature table"):
+    with _pytest.raises(SystemExit) as e:
         main(nd + ["--min-chars", "200"])
+    assert e.value.code == 4
 
 
 def test_dedup_job_signatures_require_near_dedup(tmp_path):

@@ -119,6 +119,49 @@ def test_ngram_jaccard(spark):
     assert all(3 not in k for k in got)
 
 
+def test_ngram_grams_table_path_and_reuse(spark, tmp_path, monkeypatch):
+    """grams_table= persists the exploded gram relation to icelite; the
+    table path yields identical pairs, a rerun reuses the committed table
+    WITHOUT recomputing grams, and a drifted doc set / parameter mismatch
+    raises instead of silently mis-scoring."""
+    import ocr_spark.operators.corpus_ops as CO
+    from ocr_spark.operators.dedup import materialize_ngram_grams
+    from ocr_spark.sources.icelite import IceliteTable
+
+    a = "one two three four five six"
+    b = "one two three four five seven"
+    c = "totally unrelated words here now yes"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id long, text string")
+    tbl = IceliteTable(str(tmp_path / "grams"), key_col="doc_id", n_buckets=4)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.1, grams_table=tbl).collect()
+    }
+    assert got[(1, 2)] == 0.6 and all(3 not in k for k in got)
+
+    # reuse: grams must come from the table, never recomputed
+    def boom(*args, **kwargs):
+        raise AssertionError("gram relation recomputed on the reuse path")
+
+    monkeypatch.setattr(CO, "exploded_word_ngrams", boom)
+    reused = materialize_ngram_grams(df, tbl, n=3)
+    assert reused.count() == tbl.row_count()
+    got2 = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.1, grams_table=tbl).collect()
+    }
+    assert got2 == got
+    monkeypatch.undo()
+
+    with pytest.raises(ValueError, match="built with"):
+        materialize_ngram_grams(df, tbl, n=5)
+    drifted = df.union(
+        spark.createDataFrame([(4, "brand new document text here")], "doc_id long, text string")
+    )
+    with pytest.raises(ValueError, match="drifted"):
+        materialize_ngram_grams(drifted, tbl, n=3)
+
+
 def test_embedding_dup_pairs(spark):
     v = [1.0, 0.0, 0.5, 0.2]
     near = [1.0, 0.001, 0.5, 0.2]
@@ -453,6 +496,51 @@ def test_corpus_filter_near_dedup(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
     fates = {r["doc_id"]: r["reason"] for r in audit.collect()}
     assert fates[2] == "duplicate"
+
+
+def test_corpus_filter_signature_token_sees_benchmark_content(spark, tmp_path):
+    """The signature-table fingerprint covers the benchmark's CONTENT, not
+    just its presence: a rerun with a different same-cardinality benchmark
+    must refuse the stale table instead of silently reusing signatures
+    computed over a different contamination outcome."""
+    from ocr_spark.operators.corpus_filter import corpus_filter
+    from ocr_spark.sources.icelite import IceliteTable
+
+    base = "the quick brown fox jumps over the lazy dog and it runs far away into the woods at night"
+    df = spark.createDataFrame(
+        [(1, base), (2, "a completely different story about the spark catalyst optimizer and its many clever rules")],
+        "doc_id long, text string",
+    )
+    bench_a = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    bench_b = spark.createDataFrame(
+        [(100, "an entirely unrelated benchmark sentence about databases and storage engines running fast queries")],
+        "doc_id long, text string",
+    )
+    tbl = IceliteTable(str(tmp_path / "sigs"), key_col="doc_id", n_buckets=4)
+    corpus_filter(df, near_dedup=True, signatures_table=tbl, benchmark=bench_a)
+    # same config + same benchmark -> free reuse
+    head = tbl.head_id()
+    corpus_filter(df, near_dedup=True, signatures_table=tbl, benchmark=bench_a)
+    assert tbl.head_id() == head
+    # same cardinality, different content -> refused
+    with pytest.raises(ValueError, match="built with"):
+        corpus_filter(df, near_dedup=True, signatures_table=tbl, benchmark=bench_b)
+
+
+def test_pipeline_rejects_misaligned_input_table(spark, tmp_path):
+    """An icelite INPUT keyed on a non-url column (even with matching
+    bucket count) must be refused — its buckets are not url processing
+    groups, so resume bookkeeping would cover the wrong rows."""
+    from ocr_spark.plans.pipeline import ExtractionPipeline
+    from ocr_spark.sources.icelite import IceliteTable
+
+    out = IceliteTable(str(tmp_path / "out"), key_col="url", n_buckets=8)
+    bad = IceliteTable(str(tmp_path / "in"), key_col="doc_id", n_buckets=8)
+    bad.append(
+        spark.createDataFrame([(1, "u")], "doc_id long, url string"), metadata={}
+    )
+    with pytest.raises(ValueError, match="would not align"):
+        ExtractionPipeline(out, n_buckets=8).run(bad, spark=spark)
 
 
 def test_asof_join_semantics(spark):

@@ -171,12 +171,19 @@ def main() -> None:
         r_n = max(runs_n, key=lambda r: r["docs_per_sec"])
         r_4n = max(runs_4n, key=lambda r: r["docs_per_sec"])
         eff = r_4n["docs_per_sec"] / (4.0 * r_n["docs_per_sec"])
+        # the scan-only control has NO Python stage — its own N-vs-4N ratio
+        # measures how much of 4x the shared host actually delivers; the
+        # job's efficiency normalized by the control isolates the job's
+        # scaling from the host's bandwidth ceiling (VERDICT r3 Next #8)
+        ctrl = r_4n["scan_mb_per_sec"] / (4.0 * r_n["scan_mb_per_sec"])
         results[f"{n}v{n4}"] = {
             "N": r_n,
             "4N": r_4n,
             "N_all_runs": [r["docs_per_sec"] for r in runs_n],
             "4N_all_runs": [r["docs_per_sec"] for r in runs_4n],
             "scaling_efficiency": round(eff, 3),
+            "control_efficiency": round(ctrl, 3),
+            "control_normalized_efficiency": round(eff / ctrl, 3),
         }
     headline = results["2v8"]["scaling_efficiency"]
     # per-core curve across every pinned size measured this run
@@ -211,11 +218,20 @@ def main() -> None:
             "linearly; the larger pairs bend because the VM's shared "
             "memory/storage bus saturates (the scan-only control in "
             "per_core_curve.scan_mb_per_sec bends identically with no "
-            "Python stage at all), i.e. the sandbox hardware, not the job"
+            "Python stage at all), i.e. the sandbox hardware, not the "
+            "job. control_normalized_efficiency = job efficiency / "
+            "scan-control efficiency quantifies that per pair: >=1.0 "
+            "means the job loses NO parallel efficiency beyond what the "
+            "host bus already takes from a no-Python scan"
         ),
     }
     print(json.dumps(result, indent=2))
-    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+    scaling_path = os.path.join(REPO, "SCALING.json")
+    if os.path.exists(scaling_path):  # preserve sections other tools merged
+        with open(scaling_path) as f:
+            prior = json.load(f)
+        result = {**{k: v for k, v in prior.items() if k not in result}, **result}
+    with open(scaling_path, "w") as f:
         json.dump(result, f, indent=2)
 
 
