@@ -335,8 +335,16 @@ def simhash_dup_pairs(
         # variable per-table key widths must never alias across tables
         keys.append(key.bitwiseOR(F.shiftleft(F.lit(t_no).cast("long"), 56)))
 
+    # coalesce makes the simhash column PROVABLY non-null: the downstream
+    # hamming filter lets Catalyst infer an isnotnull(simhash) constraint,
+    # and for a plain (nullable) UDF column that constraint is pushed below
+    # the Generate as isnotnull(simhash_udf(text)) — evaluating the Arrow
+    # UDF a SECOND time per side just for the null probe (measured 1.5x
+    # whole-query).  coalesce(udf, 0) constant-folds the inferred check
+    # away; the kernel never returns null, so semantics are unchanged.
     sh = df.select(
-        F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("simhash")
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(simhash_udf(F.col(text_col)), F.lit(0)).alias("simhash"),
     )
     banded = sh.select("doc_id", "simhash", F.explode(F.array(*keys)).alias("k"))
     a, b = banded.alias("a"), banded.alias("b")

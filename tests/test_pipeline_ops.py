@@ -108,6 +108,22 @@ def test_simhash_plan_verifies_before_dedup(spark):
     assert agg_pos < ham_pos, "hamming filter must be below the dedup aggregate"
 
 
+def test_simhash_udf_evaluated_once_per_join_side(spark):
+    """The hamming filter lets Catalyst infer isnotnull(simhash); for a
+    nullable UDF column that constraint is pushed below the Generate as a
+    SECOND ArrowEvalPython per join side (measured 1.5x whole-query).  The
+    coalesce(udf, 0) in simhash_dup_pairs constant-folds it away — exactly
+    one Arrow evaluation per self-join side, ever."""
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    plan = (
+        simhash_dup_pairs(df, n_blocks=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("ArrowEvalPython") == 2, plan
+
+
 def test_ngram_jaccard(spark):
     a = "one two three four five six"
     b = "one two three four five seven"
