@@ -139,6 +139,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("error").isNotNull().alias("has_error"),
         )
 
+    def q_host_stats_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Stateful streaming (applyInPandasWithState) oracle-checked at
+        its FIXPOINT: per-host running totals accumulate across several
+        availableNow micro-batches into an epoch-tagged update log; the
+        last update per host must equal the plain batch groupBy over the
+        golden parquet."""
+        import tempfile
+
+        from ocr_spark.streaming.host_stats import (
+            final_host_stats,
+            run_host_stats_once,
+        )
+
+        work = tempfile.mkdtemp(prefix="host_stats_state_")
+        inp = os.path.join(work, "in")
+        spark.read.parquet(f"{fix}/pages.parquet").repartition(12).write.mode(
+            "overwrite"
+        ).parquet(inp)
+        run_host_stats_once(
+            spark, inp, os.path.join(work, "updates"), os.path.join(work, "ckpt")
+        )
+        return final_host_stats(spark, os.path.join(work, "updates")).select(
+            "host",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_errors").cast("bigint").alias("n_errors"),
+            F.col("total_chars").cast("bigint").alias("total_chars"),
+        )
+
     def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         pages = spark.read.parquet(f"{fix}/pages.parquet")
         ext = extract_pages(pages).select("url", F.explode("spans").alias("s"))
@@ -623,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     raw = {
         "extract_html": q_extract_html,
         "stream_extract_state": q_stream_extract_state,
+        "host_stats_state": q_host_stats_state,
         "extract_spans": q_extract_spans,
         "extract_layout": q_extract_layout,
         "layout_doc_spans": q_layout_doc_spans,
@@ -832,6 +861,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, text, CAST(n_blocks AS BIGINT) AS n_blocks,
                    expect_error AS has_error
             FROM '{gp}'
+        """,
+        # stateful streaming fixpoint: the last per-host update after the
+        # availableNow drain equals the batch groupBy over the golden
+        "host_stats_state": f"""
+            SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN expect_error THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_errors,
+                   CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS total_chars
+            FROM '{gp}'
+            GROUP BY 1
         """,
         "extract_spans": f"""
             SELECT url, u.field AS span_field, u.begin AS span_begin,

@@ -71,3 +71,52 @@ def host_stats_stream(extracted: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def run_host_stats_once(
+    spark, input_dir: str, updates_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain all currently-available page files (availableNow, several
+    micro-batch epochs) through extraction + the stateful per-host
+    operator, appending every update row tagged with its epoch to
+    ``updates_dir`` — the durable update log a monitoring sink would
+    consume at crawl scale."""
+    from ocr_spark.operators.extract import extract_pages
+    from ocr_spark.schemas import PAGES_SCHEMA
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    stats = host_stats_stream(extract_pages(stream))
+
+    def sink(batch_df, epoch_id: int) -> None:
+        batch_df.withColumn("_epoch", F.lit(int(epoch_id))).write.mode(
+            "append"
+        ).parquet(updates_dir)
+
+    q = (
+        stats.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def final_host_stats(spark, updates_dir: str) -> DataFrame:
+    """Fold the epoch-tagged update log to its FIXPOINT: the last update
+    per host is the running total after the final batch — which must equal
+    the batch groupBy over the same input (the oracle-checkable end state
+    of the incremental computation)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(F.col("_epoch").desc())
+    return (
+        spark.read.parquet(updates_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_epoch")
+    )

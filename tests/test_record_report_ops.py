@@ -128,6 +128,49 @@ def test_stateful_host_stats_stream(spark, tiny_dir, tmp_path):
     assert got["e"] == want_err
 
 
+def test_host_stats_update_log_fixpoint(spark, tiny_dir, tmp_path):
+    """run_host_stats_once drains in SEVERAL micro-batch epochs (the
+    incremental path: at least one host's totals grow across epochs) and
+    final_host_stats folds the update log to the batch-groupBy fixpoint."""
+    from ocr_spark.operators.extract import extract_pages
+    from ocr_spark.streaming.host_stats import final_host_stats, run_host_stats_once
+
+    inp, upd, ckpt = (str(tmp_path / d) for d in ("in", "updates", "ckpt"))
+    pages = spark.read.parquet(f"{tiny_dir}/pages.parquet")
+    pages.repartition(12).write.parquet(inp)
+    run_host_stats_once(spark, inp, upd, ckpt)
+
+    log = spark.read.parquet(upd)
+    assert log.select("_epoch").distinct().count() > 1  # genuinely incremental
+    grew = (
+        log.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_updates"))
+        .filter(F.col("n_updates") > 1)
+        .count()
+    )
+    assert grew > 0  # running totals accumulated across epochs
+
+    got = {
+        r["host"]: (r["n_docs"], r["n_errors"], r["total_chars"])
+        for r in final_host_stats(spark, upd).collect()
+    }
+    want = {
+        r["host"]: (r["n_docs"], r["n_errors"], r["total_chars"])
+        for r in extract_pages(pages)
+        .withColumn("host", F.regexp_extract("url", r"^https?://([^/]+)/", 1))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
+                "n_errors"
+            ),
+            F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("total_chars"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_streaming_dedup_first_arrival_wins(spark, tmp_path):
     """dropDuplicatesWithinWatermark-backed streaming exact dedup: a
     re-crawl of already-seen text inside the horizon is dropped EVEN
