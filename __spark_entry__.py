@@ -263,6 +263,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pages = spark.read.parquet(f"{fix}/pages.parquet")
         return extraction_report(extract_pages(pages))
 
+    def q_extract_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """A1's free-text artifact, deterministic: one summary sentence per
+        language assembled from integer metrics (the reference renders it
+        with an LLM, summarize-pdf-data.ts:28-45 — byte-exactness makes
+        string assembly the correct Spark mapping)."""
+        from ocr_spark.operators.report import extraction_summary
+
+        pages = spark.read.parquet(f"{fix}/pages.parquet")
+        return extraction_summary(extract_pages(pages))
+
     def q_attendance_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ocr_spark.operators.report import attendance_qa
 
@@ -662,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_normalize": q_wet_normalize,
         "ocr_attendance": q_ocr_attendance,
         "extract_report": q_extract_report,
+        "extract_summary": q_extract_summary,
         "attendance_qa": q_attendance_qa,
         "record_update": q_record_update,
         "dedup_exact": q_dedup_exact,
@@ -944,6 +955,35 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(COUNT(*), 1), 6) AS error_rate
             FROM '{pages}' p JOIN '{gp}' g USING (url)
             GROUP BY p.lang
+        """,
+        # A1 free text, deterministically: floor-based integer math only
+        # (Spark's double->bigint cast truncates, DuckDB's rounds — FLOOR
+        # agrees in both engines for the non-negative values here)
+        "extract_summary": f"""
+            WITH m AS (
+                SELECT p.lang,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(CASE WHEN g.expect_error THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+                       CAST(SUM(length(g.text)) AS BIGINT) AS total_chars,
+                       CAST(SUM(CAST(g.n_blocks AS BIGINT)) AS BIGINT) AS total_blocks,
+                       CAST(MAX(length(g.text)) AS BIGINT) AS max_chars
+                FROM '{pages}' p JOIN '{gp}' g USING (url)
+                GROUP BY p.lang
+            ), b AS (
+                SELECT *,
+                       CAST(FLOOR(n_errors * 10000.0 / GREATEST(n_docs, 1)) AS BIGINT) AS pct_bp,
+                       CAST(FLOOR(total_chars * 1.0 / GREATEST(n_docs - n_errors, 1)) AS BIGINT) AS mean_chars
+                FROM m
+            )
+            SELECT lang, n_docs,
+                   'lang=' || lang || ': extracted ' || CAST(n_docs AS VARCHAR)
+                   || ' docs (' || CAST(n_errors AS VARCHAR) || ' errors, '
+                   || CAST(CAST(FLOOR(pct_bp / 100.0) AS BIGINT) AS VARCHAR) || '.'
+                   || lpad(CAST(pct_bp % 100 AS VARCHAR), 2, '0') || '%), '
+                   || CAST(total_blocks AS VARCHAR) || ' text blocks, mean '
+                   || CAST(mean_chars AS VARCHAR) || ' chars per clean doc, max '
+                   || CAST(max_chars AS VARCHAR) AS summary
+            FROM b
         """,
         "attendance_qa": f"""
             SELECT url, "nombre_des_présents" AS declared,

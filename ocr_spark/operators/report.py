@@ -32,6 +32,47 @@ def extraction_report(extracted: DataFrame) -> DataFrame:
     )
 
 
+def extraction_summary(extracted: DataFrame) -> DataFrame:
+    """A1's free-text artifact, deterministically: one human-readable
+    summary SENTENCE per language built from the report metrics by pure
+    string assembly (the reference renders this with an LLM,
+    src/ai/flows/summarize-pdf-data.ts:28-45 — byte-exactness makes that a
+    non-goal, so the sentence is a total function of the metrics).  All
+    interpolated values are integers (percent via integer basis-point
+    math) so the string is exactly reproducible in any SQL engine."""
+    r = extraction_report(extracted)
+    # FLOOR, not cast: Spark's double->bigint cast truncates but DuckDB's
+    # ROUNDS — floor agrees in both engines (all values non-negative)
+    pct_bp = F.floor(
+        F.col("n_errors") * 10000 / F.greatest(F.col("n_docs"), F.lit(1))
+    ).cast("bigint")
+    mean_chars = F.floor(
+        F.col("total_chars") / F.greatest(F.col("n_docs") - F.col("n_errors"), F.lit(1))
+    ).cast("bigint")
+    return r.select(
+        "lang",
+        F.col("n_docs"),
+        F.concat(
+            F.lit("lang="),
+            F.col("lang"),
+            F.lit(": extracted "),
+            F.col("n_docs").cast("string"),
+            F.lit(" docs ("),
+            F.col("n_errors").cast("string"),
+            F.lit(" errors, "),
+            F.floor(pct_bp / 100).cast("bigint").cast("string"),
+            F.lit("."),
+            F.lpad((pct_bp % 100).cast("string"), 2, "0"),
+            F.lit("%), "),
+            F.col("total_blocks").cast("string"),
+            F.lit(" text blocks, mean "),
+            mean_chars.cast("string"),
+            F.lit(" chars per clean doc, max "),
+            F.col("max_chars").cast("string"),
+        ).alias("summary"),
+    )
+
+
 def attendance_qa(records: DataFrame) -> DataFrame:
     """A2: declared count vs actual list size, flagged — never overwritten."""
     return records.select(

@@ -53,6 +53,28 @@ def test_extraction_report(spark, tiny_dir):
         assert r["total_chars"] >= r["max_chars"]
 
 
+def test_extraction_summary_deterministic_string(spark):
+    """A1 free text: the sentence is a total function of integer metrics —
+    exact string, floor percent math, zero-padded basis points."""
+    from ocr_spark.operators.report import extraction_summary
+
+    rows = [
+        ("u1", "en", None, 40, "abcdefghij"),   # clean, 10 chars
+        ("u2", "en", "BOOM", 0, ""),            # error
+        ("u3", "en", None, 2, "abc"),           # clean, 3 chars
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, lang string, error string, n_blocks int, text string"
+    )
+    got = extraction_summary(df).collect()
+    assert len(got) == 1 and got[0]["n_docs"] == 3
+    # 1 error / 3 docs = 3333 bp -> "33.33%"; mean = 13 // 2 = 6
+    assert got[0]["summary"] == (
+        "lang=en: extracted 3 docs (1 errors, 33.33%), 42 text blocks, "
+        "mean 6 chars per clean doc, max 10"
+    )
+
+
 def test_attendance_qa_never_recomputes(spark, tiny_dir):
     """A2: declared count is kept verbatim even when it disagrees."""
     docs = spark.read.parquet(f"{tiny_dir}/attendance_docs.parquet")
