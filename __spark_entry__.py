@@ -178,8 +178,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_extract_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # clustered_input: the fixture glyph parquet is written with
+        # page-aligned row groups, so the plan is Exchange-free; a wrong
+        # clustering claim breaks THIS oracle loudly (count + hash)
         glyphs = spark.read.parquet(f"{fix}/glyphs.parquet")
-        return glyphs_to_page_text(glyphs).select(
+        return glyphs_to_page_text(glyphs, clustered_input=True).select(
+            "doc_id", F.col("page").cast("bigint").alias("page"), "text"
+        )
+
+    def q_extract_layout_pyscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The owned-table production path: row-group scan ranges planned
+        driver-side, glyph bytes read by pyarrow INSIDE the tasks (never
+        crossing the JVM->Python row channel).  Same oracle as
+        extract_layout — identical output through a different IO path."""
+        from ocr_spark.operators.layout_ops import glyphs_to_page_text_pyscan
+
+        return glyphs_to_page_text_pyscan(spark, f"{fix}/glyphs.parquet").select(
             "doc_id", F.col("page").cast("bigint").alias("page"), "text"
         )
 
@@ -190,7 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ocr_spark.operators.layout_ops import pages_to_doc_text
 
         glyphs = spark.read.parquet(f"{fix}/glyphs.parquet")
-        docs = pages_to_doc_text(glyphs_to_page_text(glyphs))
+        docs = pages_to_doc_text(glyphs_to_page_text(glyphs, clustered_input=True))
         s = docs.select("doc_id", F.explode("spans").alias("s"))
         return s.select(
             "doc_id",
@@ -248,7 +262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         glyphs = spark.read.parquet(f"{fix}/attendance_glyphs.parquet")
         doc_map = spark.read.parquet(f"{fix}/attendance_glyph_docs.parquet")
-        r = ocr_structured_records(glyphs, doc_map)
+        r = ocr_structured_records(glyphs, doc_map, clustered_input=True)
         return r.select(
             "url",
             F.col("fields.classe").alias("classe"),
@@ -664,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats_state": q_host_stats_state,
         "extract_spans": q_extract_spans,
         "extract_layout": q_extract_layout,
+        "extract_layout_pyscan": q_extract_layout_pyscan,
         "layout_doc_spans": q_layout_doc_spans,
         "attendance_fields": q_attendance_fields,
         "attendance_explode": q_attendance_explode,
@@ -890,6 +905,10 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT url, unnest(spans) AS u FROM '{gp}')
         """,
         "extract_layout": f"""
+            SELECT doc_id, CAST(page AS BIGINT) AS page, text FROM '{gg}'
+        """,
+        # same golden, different IO path (task-side pyarrow row-group reads)
+        "extract_layout_pyscan": f"""
             SELECT doc_id, CAST(page AS BIGINT) AS page, text FROM '{gg}'
         """,
         # layout page spans: independent reconstruction via a window sum of

@@ -98,16 +98,21 @@ def run_extraction_bench(spark, bench_dir: str) -> dict:
 
 def run_layout_bench(spark, bench_dir: str) -> dict:
     """Engine-A branch: glyph boxes -> XY-cut reading-order page text
-    (the north star's parallel PDF/scan segmentation path)."""
-    from ocr_spark.operators.layout_ops import glyphs_to_page_text
+    (the north star's parallel PDF/scan segmentation path).  Measures the
+    owned-table production path (r4): page-aligned row groups + pyarrow
+    reads INSIDE the tasks — the glyph bytes never cross the JVM->Python
+    row channel, whose per-row conversion (not the kernel, not the scan)
+    dominated the branch through r3."""
+    from ocr_spark.operators.layout_ops import glyphs_to_page_text_pyscan
 
-    glyphs = spark.read.parquet(f"{bench_dir}/glyphs.parquet")
+    path = f"{bench_dir}/glyphs.parquet"
+    glyphs = spark.read.parquet(path)
     n_glyphs = glyphs.count()
 
     def run() -> tuple[float, int]:
         t0 = time.time()
         out = (
-            glyphs_to_page_text(glyphs)
+            glyphs_to_page_text_pyscan(spark, path)
             .agg(F.count(F.lit(1)).alias("pages"), F.sum(F.length("text")).alias("chars"))
             .collect()[0]
         )

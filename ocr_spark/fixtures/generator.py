@@ -62,7 +62,7 @@ def join_blocks(blocks: list[str]) -> tuple[str, list[tuple[str, int, int]]]:
     return "\n".join(normed), spans
 
 SEED = 42
-FORMAT_VERSION = 22  # bump to force regeneration everywhere (v22: PNG image fixtures)
+FORMAT_VERSION = 23  # bump to force regeneration everywhere (v23: page-aligned glyph row groups)
 
 # bench is sized so the extraction stage runs for seconds, not hundreds of
 # milliseconds, at local[32] — otherwise the ~0.3 s fixed job floor (task
@@ -515,6 +515,35 @@ def _write(path: str, table: pa.Table) -> None:
     pq.write_table(table, path, compression="zstd", row_group_size=rows_per_group)
 
 
+def _write_page_aligned(path: str, table: pa.Table, target_bytes: int = 1 << 20) -> None:
+    """Write the glyph table with row groups FLUSHED AT (doc_id, page)
+    BOUNDARIES: a page never straddles a row group.  Parquet byte-range
+    scan splits honor row-group boundaries, so every Spark task sees only
+    WHOLE pages — the physical contract behind the layout branch's
+    zero-Exchange path (``layout_ops.glyphs_to_page_text(
+    clustered_input=True)``).  Groups still target ~1 MB (the v15 lesson:
+    group count drives scan cost), they just end on the next page edge."""
+    import numpy as np
+
+    d = table["doc_id"].to_numpy()
+    p = table["page"].to_numpy()
+    bounds = np.concatenate(
+        (
+            [0],
+            np.flatnonzero((np.diff(d) != 0) | (np.diff(p) != 0)) + 1,
+            [table.num_rows],
+        )
+    )
+    avg_row = max(1, table.nbytes // max(table.num_rows, 1))
+    rows_target = max(1, target_bytes // avg_row)
+    with pq.ParquetWriter(path, table.schema, compression="zstd") as w:
+        start = 0
+        for b in bounds[1:].tolist():
+            if b > start and (b - start >= rows_target or b == table.num_rows):
+                w.write_table(table.slice(start, b - start), row_group_size=b - start)
+                start = b
+
+
 def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
     cfg = TIERS[tier]
     os.makedirs(out_dir, exist_ok=True)
@@ -594,7 +623,7 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
                 "y1": pa.array([r[7] for r in grows], pa.float64()),
             }
         )
-        _write(os.path.join(out_dir, "glyphs.parquet"), glyphs)
+        _write_page_aligned(os.path.join(out_dir, "glyphs.parquet"), glyphs)
         ggold = pa.table(
             {
                 "doc_id": pa.array([r[0] for r in gold], pa.int64()),
@@ -700,7 +729,7 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
                 "y1": pa.array([r[7] for r in ag_rows], pa.float64()),
             }
         )
-        _write(os.path.join(out_dir, "attendance_glyphs.parquet"), ag)
+        _write_page_aligned(os.path.join(out_dir, "attendance_glyphs.parquet"), ag)
         _write(
             os.path.join(out_dir, "attendance_glyph_docs.parquet"),
             pa.table(

@@ -155,33 +155,95 @@ def page_text(
 # code points so a 23M-glyph shuffle never materializes 23M Python strings
 # (the Spark operator packs per-page arrays JVM-side; see layout_ops)
 # ---------------------------------------------------------------------------
-def _lines_text_codes(cp: np.ndarray, x0: np.ndarray, x1: np.ndarray, y1: np.ndarray) -> str:
-    """Rule L3+L4 on one leaf region over code points; string assembly is a
-    single utf-32 decode per line (no per-glyph Python strings)."""
-    order = np.argsort(y1, kind="stable")
-    y1_sorted = y1[order].tolist()
-    idx_sorted = order.tolist()
-    lines: list[list[int]] = []
+# Float-discrepancy margin for the vectorized clustering fast path: its
+# running means come from prefix-sum differences (cumsum[i-1] - cumsum at
+# segment start) while the sequential spec sums each line fresh — the two
+# can differ by ~n*ulp(sum).  y values are <= 792 and segments are <= a few
+# thousand glyphs, so the discrepancy is < 1e-8; any comparison landing
+# within this margin of LINE_CLUSTER_EPS falls back to the exact loop.
+_CLUSTER_MARGIN = 1e-6
+
+
+def _cluster_lines_fast(ys: np.ndarray) -> np.ndarray | None:
+    """Vectorized rule-L3 line segmentation over SORTED baselines.
+
+    Candidate: break where consecutive baselines jump by more than EPS;
+    then VERIFY the candidate reproduces the sequential running-mean
+    decisions — every inner glyph within EPS of its line's running mean,
+    every segment's first glyph beyond EPS of the previous line's final
+    mean — with a margin covering prefix-sum float drift.  Returns the
+    per-glyph segment ids, or None when any decision is within the margin
+    (caller falls back to the exact sequential loop)."""
+    n = ys.size
+    if n < 2:
+        return np.zeros(n, dtype=np.int64)
+    brk = np.diff(ys) > LINE_CLUSTER_EPS
+    seg = np.concatenate(([0], np.cumsum(brk)))
+    starts = np.concatenate(([0], np.nonzero(brk)[0] + 1))
+    start_of = starts[seg]
+    p = np.cumsum(ys)
+    p0 = np.where(start_of > 0, p[np.maximum(start_of - 1, 0)], 0.0)
+    k = np.arange(n) - start_of
+    inner = k >= 1
+    dev = np.abs(ys - (p[np.arange(n) - 1] - p0) / np.maximum(k, 1))
+    if np.any(dev[inner] > LINE_CLUSTER_EPS - _CLUSTER_MARGIN):
+        return None
+    if starts.size > 1:
+        b = starts[1:]
+        prev_start = starts[:-1]
+        prev_p0 = np.where(prev_start > 0, p[np.maximum(prev_start - 1, 0)], 0.0)
+        prev_mean = (p[b - 1] - prev_p0) / (b - prev_start)
+        if np.any(np.abs(ys[b] - prev_mean) <= LINE_CLUSTER_EPS + _CLUSTER_MARGIN):
+            return None
+    return seg
+
+
+def _cluster_lines_seq(ys: np.ndarray) -> np.ndarray:
+    """The sequential rule-L3 spec loop (running-mean clustering) over
+    SORTED baselines; returns per-glyph segment ids."""
+    seg = np.empty(ys.size, dtype=np.int64)
+    cur = -1
     baseline_sum = 0.0
-    for idx, y in zip(idx_sorted, y1_sorted):
-        if lines and abs(y - baseline_sum / len(lines[-1])) <= LINE_CLUSTER_EPS:
-            lines[-1].append(idx)
+    count = 0
+    for i, y in enumerate(ys.tolist()):
+        if cur >= 0 and abs(y - baseline_sum / count) <= LINE_CLUSTER_EPS:
             baseline_sum += y
+            count += 1
         else:
-            lines.append([idx])
+            cur += 1
             baseline_sum = y
-    out_lines: list[str] = []
-    for members in lines:
-        marr = np.array(members)
-        m_order = marr[np.lexsort((marr, x0[marr]))]
-        codes = cp[m_order].astype(np.uint32)
-        x0s = x0[m_order]
-        x1s = x1[m_order]
-        gap_idx = np.nonzero((x0s[1:] - x1s[:-1]) > SPACE_GAP)[0] + 1
-        if gap_idx.size:
-            codes = np.insert(codes, gap_idx, np.uint32(0x20))
-        out_lines.append(codes.astype("<u4").tobytes().decode("utf-32-le"))
-    return "\n".join(out_lines)
+            count = 1
+        seg[i] = cur
+    return seg
+
+
+def _lines_text_codes(cp: np.ndarray, x0: np.ndarray, x1: np.ndarray, y1: np.ndarray) -> str:
+    """Rule L3+L4 on one leaf region over code points, fully vectorized:
+    one argsort for the baseline scan, the fast-path segmentation (exact
+    sequential fallback inside the margin), one lexsort for (line, x0,
+    input-order) glyph order, one separator insert and ONE utf-32 decode
+    per leaf.  Output is byte-identical to the sequential spec
+    (hypothesis-differential-tested against page_text)."""
+    order = np.argsort(y1, kind="stable")
+    ys = y1[order]
+    seg = _cluster_lines_fast(ys)
+    if seg is None:
+        seg = _cluster_lines_seq(ys)
+    # L3 within-line order: x0 primary, ORIGINAL input index as tiebreak
+    # (`order` holds original indices); lines are already in mean-baseline
+    # order because ys is sorted
+    ls = np.lexsort((order, x0[order], seg))
+    final = order[ls]
+    codes = cp[final].astype(np.uint32)
+    if final.size > 1:
+        seg_sorted = seg[ls]
+        new_line = seg_sorted[1:] != seg_sorted[:-1]
+        gap = (x0[final][1:] - x1[final][:-1]) > SPACE_GAP
+        pos = np.nonzero(new_line | gap)[0] + 1
+        vals = np.where(new_line[pos - 1], np.uint32(0x0A), np.uint32(0x20))
+        if pos.size:
+            codes = np.insert(codes, pos, vals)
+    return codes.astype("<u4").tobytes().decode("utf-32-le")
 
 
 def _xycut_codes(cp, x0, y0, x1, y1, idx) -> list[str]:

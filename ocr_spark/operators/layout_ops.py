@@ -35,49 +35,102 @@ from ocr_spark.functions.layout import page_text, page_text_codes
 from ocr_spark.schemas import PAGE_TEXT_SCHEMA
 
 
-def _pages_arrow_fn(batches):
+def _emit_pages(cols, complete_upto: int, seen: set):
+    """Process contiguous (doc_id, page) groups in cols[:complete_upto];
+    returns an output RecordBatch (or None) — caller keeps the rest
+    pending.  ``seen`` guards contiguity: a key reappearing after its run
+    closed means the input is NOT page-contiguous in this task
+    (interleaved rows, or a clustered-input claim on an unclustered table)
+    — emitting would silently split the page into fragments, so raise."""
     import pyarrow as pa
 
-    out_schema = pa.schema(
-        [("doc_id", pa.int64()), ("page", pa.int32()), ("text", pa.string())]
+    if complete_upto == 0:
+        return None
+    doc_id, page = cols["doc_id"], cols["page"]
+    # group boundaries: positions where the (doc_id, page) key changes
+    key_change = np.flatnonzero(
+        (np.diff(doc_id[:complete_upto]) != 0)
+        | (np.diff(page[:complete_upto]) != 0)
     )
-    pend = None  # numpy column dict carried across batch boundaries
-
-    def emit(cols, complete_upto):
-        """Process contiguous groups in cols[:complete_upto]; returns the
-        output RecordBatch (or None) — caller keeps the rest pending."""
-        if complete_upto == 0:
-            return None
-        doc_id, page = cols["doc_id"], cols["page"]
-        # group boundaries: positions where the (doc_id, page) key changes
-        key_change = np.flatnonzero(
-            (np.diff(doc_id[:complete_upto]) != 0)
-            | (np.diff(page[:complete_upto]) != 0)
-        )
-        starts = np.concatenate(([0], key_change + 1))
-        ends = np.concatenate((key_change + 1, [complete_upto]))
-        out_doc, out_page, out_text = [], [], []
-        for s, e in zip(starts.tolist(), ends.tolist()):
-            out_doc.append(int(doc_id[s]))
-            out_page.append(int(page[s]))
-            out_text.append(
-                page_text_codes(
-                    cols["cp"][s:e], cols["x0"][s:e], cols["y0"][s:e],
-                    cols["x1"][s:e], cols["y1"][s:e],
-                )
+    starts = np.concatenate(([0], key_change + 1))
+    ends = np.concatenate((key_change + 1, [complete_upto]))
+    out_doc, out_page, out_text = [], [], []
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        key = (int(doc_id[s]), int(page[s]))
+        if key in seen:
+            raise ValueError(
+                f"glyph key {key} reappeared after its contiguous run "
+                "closed — input is not page-contiguous; use the "
+                "default shuffled path for unclustered glyph tables"
             )
-        if not out_doc:
-            return None
-        return pa.RecordBatch.from_arrays(
-            [
-                pa.array(out_doc, pa.int64()),
-                pa.array(out_page, pa.int32()),
-                pa.array(out_text, pa.string()),
-            ],
-            schema=out_schema,
+        seen.add(key)
+        out_doc.append(key[0])
+        out_page.append(key[1])
+        out_text.append(
+            page_text_codes(
+                cols["cp"][s:e], cols["x0"][s:e], cols["y0"][s:e],
+                cols["x1"][s:e], cols["y1"][s:e],
+            )
         )
+    if not out_doc:
+        return None
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(out_doc, pa.int64()),
+            pa.array(out_page, pa.int32()),
+            pa.array(out_text, pa.string()),
+        ],
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("page", pa.int32()), ("text", pa.string())]
+        ),
+    )
 
+
+def _pages_arrow_fn(batches):
     names = ("doc_id", "page", "cp", "x0", "y0", "x1", "y1")
+    seen: set[tuple[int, int]] = set()  # guard: a key must never REAPPEAR
+    # The Arrow channel delivers session-tuned 512-row batches (sized for
+    # ~20 KB html rows, not 48 B glyph rows): processing per delivery would
+    # run the concatenate + group-scan ~45k times at the bench tier, with
+    # nearly every ~950-glyph page straddling a batch.  Accumulate ~256k
+    # rows (~12 MB numeric) per processing pass instead.
+    _BUF_ROWS = 1 << 18
+    chunks: list[dict] = []  # buffered column dicts awaiting processing
+    buf_rows = 0
+
+    def drain(last_partial: bool):
+        """Concatenate the buffer and emit its complete groups; when
+        ``last_partial``, rows of the final (doc_id, page) key stay
+        buffered — they may continue in the next Arrow batch."""
+        nonlocal chunks, buf_rows
+        if not chunks:
+            return None
+        cols = (
+            chunks[0]
+            if len(chunks) == 1
+            else {n: np.concatenate([c[n] for c in chunks]) for n in names}
+        )
+        n = len(cols["doc_id"])
+        if n == 0:
+            chunks, buf_rows = [], 0
+            return None
+        if last_partial:
+            key_ne_last = (cols["doc_id"] != cols["doc_id"][-1]) | (
+                cols["page"] != cols["page"][-1]
+            )
+            last_key_start = (
+                int(np.flatnonzero(key_ne_last)[-1] + 1) if key_ne_last.any() else 0
+            )
+        else:
+            last_key_start = n
+        rb = _emit_pages(cols, last_key_start, seen)
+        if last_key_start < n:
+            chunks = [{nm: cols[nm][last_key_start:] for nm in names}]
+            buf_rows = n - last_key_start
+        else:
+            chunks, buf_rows = [], 0
+        return rb
+
     for batch in batches:
         # resolve columns by NAME (schema lookup), not position — an
         # upstream select reorder must fail loudly, never silently mis-map
@@ -85,42 +138,160 @@ def _pages_arrow_fn(batches):
         missing = [n for n, i in idx.items() if i < 0]
         if missing:
             raise KeyError(f"glyph batch missing columns: {missing}")
-        cols = {
-            n: batch.column(i).to_numpy(zero_copy_only=False)
-            for n, i in idx.items()
-        }
-        if pend is not None:
-            cols = {n: np.concatenate((pend[n], cols[n])) for n in names}
-        n = len(cols["doc_id"])
-        if n == 0:
-            continue
-        # rows of the LAST key in the buffer may continue in the next
-        # batch: hold them back
-        last_key_start = int(
-            np.flatnonzero(
-                (cols["doc_id"] != cols["doc_id"][-1])
-                | (cols["page"] != cols["page"][-1])
-            )[-1] + 1
-            if ((cols["doc_id"] != cols["doc_id"][-1]) | (cols["page"] != cols["page"][-1])).any()
-            else 0
+        chunks.append(
+            {n: batch.column(i).to_numpy(zero_copy_only=False) for n, i in idx.items()}
         )
-        rb = emit(cols, last_key_start)
-        if rb is not None:
-            yield rb
-        pend = {n: cols[n][last_key_start:] for n in names}
-    if pend is not None and len(pend["doc_id"]):
-        rb = emit(pend, len(pend["doc_id"]))
-        if rb is not None:
-            yield rb
+        buf_rows += batch.num_rows
+        if buf_rows >= _BUF_ROWS:
+            rb = drain(last_partial=True)
+            if rb is not None:
+                yield rb
+    rb = drain(last_partial=False)
+    if rb is not None:
+        yield rb
 
 
-def glyphs_to_page_text(glyphs: DataFrame) -> DataFrame:
-    """glyphs -> (doc_id, page, text) in recovered reading order."""
+def glyphs_to_page_text(glyphs: DataFrame, clustered_input: bool = False) -> DataFrame:
+    """glyphs -> (doc_id, page, text) in recovered reading order.
+
+    ``clustered_input=True`` skips the repartition+sort ENTIRELY — a
+    zero-Exchange plan, the same shape as the html extraction branch — and
+    is valid when the physical layout guarantees every scan task sees only
+    WHOLE pages in contiguous runs: parquet written with row groups
+    flushed at (doc_id, page) boundaries (byte-range splits honor
+    row-group edges; see ``fixtures/generator._write_page_aligned``), or
+    an icelite table bucketed on doc_id.  This is the 100 TB default for
+    OWNED glyph tables: the raw-glyph shuffle it removes is the single
+    largest byte mover in the branch (~23M x 48 B rows at the bench tier —
+    measured 1.9x end-to-end).  A page straddling tasks under a WRONG
+    clustering claim is caught two ways: a key reappearing within a task
+    raises in the kernel, and cross-task splits break the golden-parquet
+    oracle (row count + hash).  Default (False) keeps the shuffled path —
+    correct for ANY input layout."""
     num = glyphs.select(
         "doc_id", "page", F.ascii("ch").alias("cp"), "x0", "y0", "x1", "y1"
     )
-    part = num.repartition("doc_id", "page").sortWithinPartitions("doc_id", "page")
-    return part.mapInArrow(_pages_arrow_fn, PAGE_TEXT_SCHEMA)
+    if not clustered_input:
+        num = num.repartition("doc_id", "page").sortWithinPartitions("doc_id", "page")
+    return num.mapInArrow(_pages_arrow_fn, PAGE_TEXT_SCHEMA)
+
+
+def _glyph_scan_ranges(path: str, target_bytes: int) -> list[tuple[str, int, int]]:
+    """Plan (file, row_group_start, row_group_end) scan ranges for a glyph
+    parquet path.  Files at or under ``target_bytes`` become one range each
+    with NO footer read (rg range [0, -1] = whole file), so the planning
+    cost at web scale is file listing only; oversized files get their
+    footer read once and are split on row-group boundaries."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    )
+    ranges: list[tuple[str, int, int]] = []
+    for f in files:
+        if os.path.getsize(f) <= target_bytes:
+            ranges.append((f, 0, -1))  # whole file, footer read in the task
+            continue
+        md = pq.ParquetFile(f).metadata
+        start, acc = 0, 0
+        for i in range(md.num_row_groups):
+            acc += md.row_group(i).total_byte_size
+            if acc >= target_bytes:
+                ranges.append((f, start, i + 1))
+                start, acc = i + 1, 0
+        if start < md.num_row_groups:
+            ranges.append((f, start, md.num_row_groups))
+    return ranges
+
+
+def _codepoints(col) -> np.ndarray:
+    """Single-character pyarrow string column -> uint32 code points,
+    vectorized: each element is exactly one code point, so decoding the
+    concatenated utf-8 data buffer yields element i's code point at
+    position i — no per-glyph Python strings (the whole point of the
+    python-scan path)."""
+    out = []
+    for chunk in col.chunks if hasattr(col, "chunks") else [col]:
+        if chunk.null_count:
+            raise ValueError("glyph ch column must not contain nulls")
+        arr = chunk.combine_chunks() if hasattr(chunk, "combine_chunks") else chunk
+        # fresh-from-parquet arrays have offset 0; slice defensively if not
+        if arr.offset != 0:
+            arr = arr.take(np.arange(len(arr)))
+        buf = arr.buffers()[2]
+        s = buf.to_pybytes().decode("utf-8") if buf is not None else ""
+        cps = np.frombuffer(s.encode("utf-32-le"), dtype="<u4")
+        if len(cps) != len(arr):
+            raise ValueError("glyph ch column must be single-code-point chars")
+        out.append(cps)
+    return out[0] if len(out) == 1 else np.concatenate(out)
+
+
+def _pyscan_arrow_fn(batches):
+    """Input: (path, rg0, rg1) range rows.  Each task reads its row groups
+    directly with pyarrow and runs the page kernel — the glyph bytes never
+    cross the JVM->Python row channel."""
+    import pyarrow.parquet as pq
+
+    cols_needed = ["doc_id", "page", "ch", "x0", "y0", "x1", "y1"]
+    seen: set[tuple[int, int]] = set()
+    for batch in batches:
+        paths = batch.column(batch.schema.get_field_index("path")).to_pylist()
+        rg0s = batch.column(batch.schema.get_field_index("rg0")).to_pylist()
+        rg1s = batch.column(batch.schema.get_field_index("rg1")).to_pylist()
+        for path, rg0, rg1 in zip(paths, rg0s, rg1s):
+            pf = pq.ParquetFile(path)
+            end = pf.metadata.num_row_groups if rg1 < 0 else rg1
+            t = pf.read_row_groups(list(range(rg0, end)), columns=cols_needed)
+            cols = {
+                "doc_id": t["doc_id"].to_numpy(),
+                "page": t["page"].to_numpy(),
+                "cp": _codepoints(t["ch"]),
+                "x0": t["x0"].to_numpy(),
+                "y0": t["y0"].to_numpy(),
+                "x1": t["x1"].to_numpy(),
+                "y1": t["y1"].to_numpy(),
+            }
+            rb = _emit_pages(cols, len(cols["doc_id"]), seen)
+            if rb is not None:
+                yield rb
+
+
+def glyphs_to_page_text_pyscan(
+    spark, path: str, target_bytes: int = 16 << 20
+) -> DataFrame:
+    """The owned-table production path for the layout branch: plan
+    row-group scan ranges driver-side, ship only (path, rg0, rg1) rows to
+    tasks, and read the glyph bytes with pyarrow INSIDE each task.
+
+    Why this exists (all measured at the bench tier, 23M glyphs, local[32]):
+    the branch's cost is NOT the kernel (~0.9 core-seconds total) and NOT
+    the parquet scan (0.7 s JVM-side) — it is the JVM->Python Arrow
+    channel, whose per-ROW conversion cost ~6 s regardless of Arrow batch
+    size (131k-row batches measured the same as 512).  Reading the
+    row groups directly in the Python workers removes that conversion:
+    measured ~5x end-to-end vs the channel path.
+
+    Correctness needs the same physical contract as ``clustered_input=True``
+    (row groups flushed at page boundaries, ``_write_page_aligned``): scan
+    ranges are whole row groups, so every task sees whole pages; the
+    reappeared-key guard and the golden oracle catch violations.  Range
+    planning reads footers ONLY for files larger than ``target_bytes`` —
+    at web scale the planner cost is file listing, which the table's
+    manifest (icelite) already pays."""
+    ranges = _glyph_scan_ranges(path, target_bytes)
+    rel = spark.createDataFrame(ranges, "path string, rg0 int, rg1 int")
+    return rel.repartition(max(len(ranges), 1)).mapInArrow(
+        _pyscan_arrow_fn, PAGE_TEXT_SCHEMA
+    )
 
 
 def _page_fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -143,7 +314,9 @@ def glyphs_to_page_text_grouped(glyphs: DataFrame) -> DataFrame:
     return glyphs.groupBy("doc_id", "page").applyInPandas(_page_fn, PAGE_TEXT_SCHEMA)
 
 
-def ocr_structured_records(glyphs: DataFrame, doc_map: DataFrame) -> DataFrame:
+def ocr_structured_records(
+    glyphs: DataFrame, doc_map: DataFrame, clustered_input: bool = False
+) -> DataFrame:
     """The reference's engine-A chain end-to-end (SURVEY.md §3.1 steps 4-5:
     Vision OCR text -> structuring prompt), deterministic: glyph boxes ->
     XY-cut reading-order text -> label-anchored field structuring.
@@ -155,7 +328,7 @@ def ocr_structured_records(glyphs: DataFrame, doc_map: DataFrame) -> DataFrame:
 
     from ocr_spark.operators.attendance import attendance_records
 
-    doc_text = pages_to_doc_text(glyphs_to_page_text(glyphs))
+    doc_text = pages_to_doc_text(glyphs_to_page_text(glyphs, clustered_input))
     keyed = doc_text.join(broadcast(doc_map), "doc_id").select("url", "text")
     return attendance_records(keyed, text_col="text")
 

@@ -204,6 +204,70 @@ def test_layout_packed_equals_grouped(spark, tiny_dir):
     assert fast == spec
 
 
+def test_layout_clustered_path_zero_exchange_same_output(spark, tiny_dir):
+    """clustered_input=True on a page-aligned glyph parquet: NO Exchange
+    anywhere in the plan (the raw-glyph shuffle is gone — the branch gets
+    the html path's zero-Exchange shape) and the output is identical to
+    the shuffled path; a deliberately interleaved input raises instead of
+    silently fragmenting pages."""
+    g = spark.read.parquet(f"{tiny_dir}/glyphs.parquet")
+    clustered = glyphs_to_page_text(g, clustered_input=True)
+    plan = clustered._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    got = {(r["doc_id"], r["page"]): r["text"] for r in clustered.collect()}
+    want = {(r["doc_id"], r["page"]): r["text"] for r in glyphs_to_page_text(g).collect()}
+    assert got == want
+
+    # interleave two pages' rows -> the contiguity guard must fire
+    interleaved = (
+        g.filter(F.col("doc_id") < 2)
+        .orderBy("glyph_id", "doc_id", "page")  # glyph_id-major interleaves keys
+        .coalesce(1)
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="reappeared"):
+        glyphs_to_page_text(interleaved, clustered_input=True).collect()
+
+
+def test_layout_pyscan_equals_channel_path(spark, tiny_dir):
+    """The python-source scan path (task-side pyarrow row-group reads —
+    glyph bytes never cross the JVM->Python row channel) must emit exactly
+    the shuffled channel path's pages; range planning must stay footer-free
+    for small files and split big files on row-group boundaries."""
+    from ocr_spark.operators.layout_ops import (
+        _glyph_scan_ranges,
+        glyphs_to_page_text,
+        glyphs_to_page_text_pyscan,
+    )
+
+    path = f"{tiny_dir}/glyphs.parquet"
+    got = {
+        (r["doc_id"], r["page"]): r["text"]
+        for r in glyphs_to_page_text_pyscan(spark, path).collect()
+    }
+    want = {
+        (r["doc_id"], r["page"]): r["text"]
+        for r in glyphs_to_page_text(spark.read.parquet(path)).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # small file -> ONE whole-file range, no footer read ([0, -1])
+    assert _glyph_scan_ranges(path, 1 << 30) == [(path, 0, -1)]
+    # tiny target -> split on row-group boundaries, covering every group
+    import pyarrow.parquet as pq
+
+    n_rg = pq.ParquetFile(path).metadata.num_row_groups
+    ranges = _glyph_scan_ranges(path, 1)
+    assert ranges[0][1] == 0 and ranges[-1][2] == n_rg
+    assert all(a[2] == b[1] for a, b in zip(ranges, ranges[1:]))  # contiguous
+    got_split = {
+        (r["doc_id"], r["page"]): r["text"]
+        for r in glyphs_to_page_text_pyscan(spark, path, target_bytes=1).collect()
+    }
+    assert got_split == want
+
+
 def test_layout_doc_spans_reconstruct(spark, tiny_dir):
     """N5-style law for the layout branch: slicing the assembled document
     text at each page span must yield exactly that page's text."""
