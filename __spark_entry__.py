@@ -536,6 +536,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return top_ngram_stats(_pq(spark, sf_dir, "documents"), n=2)
 
+    # -- line-level cleanup + PII (fixture corpus: planted phenomena) -----
+    def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ocr_spark.operators.pii import redact_pii
+
+        corpus = spark.read.parquet(f"{fix}/corpus.parquet")
+        return redact_pii(corpus).select(
+            "doc_id", "n_emails", "n_ipv4", "n_phones", "text_redacted"
+        )
+
+    def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ocr_spark.operators.corpus_ops import remove_boilerplate_lines
+
+        corpus = spark.read.parquet(f"{fix}/corpus.parquet")
+        return remove_boilerplate_lines(corpus, min_doc_freq=5)
+
+    def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ocr_spark.operators.corpus_ops import dedup_doc_lines
+
+        corpus = spark.read.parquet(f"{fix}/corpus.parquet")
+        return dedup_doc_lines(corpus)
+
+    def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ocr_spark.operators.corpus_ops import mixture_sample
+
+        return mixture_sample(
+            _pq(spark, sf_dir, "documents"),
+            {"src0": 80, "src1": 50, "src2": 25},
+            default_pct=10,
+        ).select("doc_id", "source")
+
     # -- similarity search ------------------------------------------------
     def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
         row = (
@@ -707,6 +737,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "unigram_logprob": q_unigram_logprob,
         "repetition": q_repetition,
+        "pii_redact": q_pii_redact,
+        "boilerplate_lines": q_boilerplate_lines,
+        "dedup_lines": q_dedup_lines,
+        "mixture_sample": q_mixture_sample,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -734,6 +768,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
+def _pii_oracle(corpus_rel: str) -> str:
+    """DuckDB mirror of redact_pii, generated from the SAME frozen pattern
+    constants (ocr_spark/operators/pii.py) so the two engines cannot drift
+    pattern-by-pattern."""
+    from ocr_spark.operators.pii import pii_oracle_sql
+
+    return pii_oracle_sql(corpus_rel)
+
+
 def _lang_id_oracle() -> str:
     """DuckDB SQL computing detect_lang's stopword-overlap argmax
     independently: per-language token-overlap scores, then the first
@@ -1205,6 +1248,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.999
         """,
         "lang_id": _lang_id_oracle(),
+        # line-level cleanup + PII (round 4): over the fixture corpus, whose
+        # generator PLANTS the phenomena (per-host boilerplate lines, emails/
+        # phones/IPs, intra-doc duplicate lines) — the oracle recomputes the
+        # answer in SQL from the same parquet, no golden table needed
+        "pii_redact": _pii_oracle(f"'{fix}/corpus.parquet'"),
+        "boilerplate_lines": f"""
+            WITH src AS (SELECT doc_id, string_split(text, chr(10)) AS arr
+                         FROM '{fix}/corpus.parquet'),
+            lines AS (SELECT doc_id, unnest(arr) AS line,
+                             generate_subscripts(arr, 1) AS pos FROM src),
+            hot AS (SELECT line FROM (
+                      SELECT line, count(DISTINCT doc_id) AS df
+                      FROM lines GROUP BY line) WHERE df >= 5),
+            kept AS (SELECT * FROM lines
+                     WHERE line NOT IN (SELECT line FROM hot)),
+            rebuilt AS (SELECT doc_id, count(*) AS n_kept,
+                               string_agg(line, chr(10) ORDER BY pos) AS text_clean
+                        FROM kept GROUP BY doc_id)
+            SELECT s.doc_id, CAST(len(s.arr) AS BIGINT) AS n_lines,
+                   CAST(len(s.arr) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+                   coalesce(r.text_clean, '') AS text_clean
+            FROM src s LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "dedup_lines": f"""
+            WITH src AS (SELECT doc_id, string_split(text, chr(10)) AS arr
+                         FROM '{fix}/corpus.parquet'),
+            lines AS (SELECT doc_id, unnest(arr) AS line,
+                             generate_subscripts(arr, 1) AS pos FROM src),
+            firsts AS (SELECT doc_id, line, pos FROM (
+                         SELECT doc_id, line, pos,
+                                row_number() OVER (PARTITION BY doc_id, line
+                                                   ORDER BY pos) AS rn
+                         FROM lines) WHERE rn = 1),
+            reb AS (SELECT doc_id, count(*) AS n_ded,
+                           string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+                    FROM firsts GROUP BY doc_id)
+            SELECT s.doc_id, CAST(len(s.arr) AS BIGINT) AS n_lines,
+                   CAST(len(s.arr) - r.n_ded AS BIGINT) AS n_dup_lines,
+                   r.text_dedup
+            FROM src s JOIN reb r USING (doc_id)
+        """,
+        "mixture_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 <
+              CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50
+                          WHEN 'src2' THEN 25 ELSE 10 END
+        """,
         # corpus construction ops (round 3): all pure-SQL-mirrorable
         "sample_deterministic": """
             SELECT doc_id, lang, n_chars FROM documents

@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "unigram_logprob",
     "repetition",
     "dedup_pipeline",
+    "pii_redact",
+    "boilerplate_lines",
+    "dedup_lines",
+    "mixture_sample",
 ]
 
 
@@ -130,6 +134,48 @@ def run_layout_bench(spark, bench_dir: str) -> dict:
     }
 
 
+def run_lineclean_bench(spark, bench_dir: str) -> dict:
+    """Line-level cleanup at the bench corpus tier (120k planted-phenomena
+    web-text docs): PII redaction (pure JVM regexp, scan-stage) and
+    cross-doc boilerplate-line removal (map-side line DF + guarded
+    broadcast anti-join + one reassembly shuffle)."""
+    from ocr_spark.operators.corpus_ops import remove_boilerplate_lines
+    from ocr_spark.operators.pii import redact_pii
+
+    corpus = spark.read.parquet(f"{bench_dir}/corpus.parquet")
+    n_docs = corpus.count()
+
+    def run(df) -> float:
+        # aggregate over the COMPUTED columns — a bare count(*) lets
+        # Catalyst prune the regex/reassembly work entirely
+        t0 = time.time()
+        df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a").alias("sa"),
+            F.sum("b").alias("sb"),
+        ).collect()
+        return time.time() - t0
+
+    pii_df = redact_pii(corpus).select(
+        (F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones")).alias("a"),
+        F.length("text_redacted").alias("b"),
+    )
+    boiler_df = remove_boilerplate_lines(corpus, min_doc_freq=5).select(
+        F.col("n_removed").alias("a"), F.length("text_clean").alias("b")
+    )
+    run(pii_df)  # warm
+    pii_sec = min(run(pii_df) for _ in range(2))
+    run(boiler_df)
+    boiler_sec = min(run(boiler_df) for _ in range(2))
+    return {
+        "docs": int(n_docs),
+        "pii_sec": round(pii_sec, 3),
+        "boiler_sec": round(boiler_sec, 3),
+        "pii_docs_per_sec": round(n_docs / pii_sec, 1),
+        "boiler_docs_per_sec": round(n_docs / boiler_sec, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = default_parallelism()
@@ -138,10 +184,13 @@ def main() -> None:
 
     ext = run_extraction_bench(spark, bench_dir)
     lay = run_layout_bench(spark, bench_dir)
+    lc = run_lineclean_bench(spark, bench_dir)
 
     qtimes: dict[str, float] = {
         "extract_bench": ext["extract_sec"],
         "layout_bench": lay["layout_sec"],
+        "pii_redact_bench": lc["pii_sec"],
+        "boilerplate_bench": lc["boiler_sec"],
     }
     qs = entry_mod.queries()
     # warm the pandas-eval Python workers too (arrow_udf and pandas udfs use
@@ -186,6 +235,7 @@ def main() -> None:
                 "sf": float(sf) if sf else sf_dir,
                 "extract": ext,
                 "layout": lay,
+                "lineclean": lc,
                 "cores": cores,
             }
         )

@@ -62,16 +62,16 @@ def join_blocks(blocks: list[str]) -> tuple[str, list[tuple[str, int, int]]]:
     return "\n".join(normed), spans
 
 SEED = 42
-FORMAT_VERSION = 23  # bump to force regeneration everywhere (v23: page-aligned glyph row groups)
+FORMAT_VERSION = 24  # bump to force regeneration everywhere (v24: corpus table for pii/boilerplate/mixture ops)
 
 # bench is sized so the extraction stage runs for seconds, not hundreds of
 # milliseconds, at local[32] — otherwise the ~0.3 s fixed job floor (task
 # scheduling, result collection) dominates and the N-vs-4N scaling
 # comparison measures overhead, not the operator.
 TIERS = {
-    "tiny": {"pages": 100, "glyph_docs": 20, "attendance": 50, "warc_files": 4, "audio": 40, "video": 40, "image": 40},
-    "small": {"pages": 1000, "glyph_docs": 200, "attendance": 400, "warc_files": 8, "audio": 200, "video": 200, "image": 200},
-    "bench": {"pages": 160000, "glyph_docs": 8000, "attendance": 0, "warc_files": 0, "audio": 0, "video": 0, "image": 0},
+    "tiny": {"pages": 100, "glyph_docs": 20, "attendance": 50, "warc_files": 4, "audio": 40, "video": 40, "image": 40, "corpus": 120},
+    "small": {"pages": 1000, "glyph_docs": 200, "attendance": 400, "warc_files": 8, "audio": 200, "video": 200, "image": 200, "corpus": 2000},
+    "bench": {"pages": 160000, "glyph_docs": 8000, "attendance": 0, "warc_files": 0, "audio": 0, "video": 0, "image": 0, "corpus": 120000},
 }
 
 EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
@@ -220,6 +220,71 @@ def _footer_html(rng: random.Random) -> str:
 def _short_boiler(rng: random.Random) -> str:
     """<=2-word unlinked boilerplate (G2 first case)."""
     return f"<div>{rng.choice(['Menu', 'Share', 'Top', 'Advertisement', 'Loading'])}</div>"
+
+
+def gen_corpus_doc(rng: random.Random, doc_id: int, hosts: list[str]) -> dict:
+    """One already-extracted web-text document for the corpus-cleaning ops
+    (PII redaction, cross-doc boilerplate-line removal, intra-doc line
+    dedup, per-source mixture sampling).  Unlike ``pages``, there is no
+    golden table: every op over this corpus is SQL-expressible, so the
+    DuckDB oracle recomputes the answer from the same parquet — the
+    generator only has to make the phenomena EXIST at known rates:
+
+    - per-host boilerplate lines derived from the HOST NAME alone (not the
+      rng), so every affected doc of a host carries byte-identical lines —
+      cross-doc line frequency finds them;
+    - planted PII (emails @host, +1 NNN-555-NNNN phones, dotted-quad IPs)
+      in ~18/12/10%% of docs;
+    - an intra-doc duplicated body line in ~25%% of docs;
+    - blank separator lines (~30%%) and a few empty docs (~1%%).
+    """
+    host = _zipf_host(rng, hosts)
+    lang = rng.choices(_LANGS, weights=_LANG_WEIGHTS, k=1)[0]
+    url = f"https://{host}/doc/{doc_id}"
+    if rng.random() < 0.01:
+        return {"doc_id": doc_id, "url": url, "host": host, "lang": lang, "text": ""}
+    boiler = [
+        f"(c) 2025 {host} - all rights reserved",
+        f"Subscribe to the {host} newsletter",
+        f"Follow {host} for daily updates",
+    ]
+    lines: list[str] = []
+    if rng.random() < 0.85:
+        lines.append(boiler[0])
+    body = [
+        _sentence(rng, lang, rng.randint(8, 25))
+        for _ in range(rng.randint(4, 18))
+    ]
+    if rng.random() < 0.18:
+        body.append(
+            f"Contact us at user{rng.randrange(500):03d}@{host} for details."
+        )
+    if rng.random() < 0.12:
+        body.append(
+            f"Call +1 {rng.randrange(200, 999)}-555-{rng.randrange(0, 10000):04d} now."
+        )
+    if rng.random() < 0.10:
+        body.append(
+            "Served from "
+            f"{rng.randrange(1, 255)}.{rng.randrange(0, 255)}"
+            f".{rng.randrange(0, 255)}.{rng.randrange(1, 255)} cache."
+        )
+    if rng.random() < 0.25:
+        body.insert(rng.randrange(len(body) + 1), rng.choice(body))
+    if rng.random() < 0.30:
+        body.insert(rng.randrange(len(body) + 1), "")
+    lines += body
+    if rng.random() < 0.80:
+        lines.append(boiler[1])
+    if rng.random() < 0.50:
+        lines.append(boiler[2])
+    return {
+        "doc_id": doc_id,
+        "url": url,
+        "host": host,
+        "lang": lang,
+        "text": "\n".join(lines),
+    }
 
 
 def gen_pages_doc(rng: random.Random, doc_id: int, hosts: list[str]) -> dict:
@@ -562,6 +627,8 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
         expected += ["video.parquet", "golden_video.parquet"]
     if cfg.get("image"):
         expected += ["image.parquet", "golden_image.parquet"]
+    if cfg.get("corpus"):
+        expected += ["corpus.parquet"]
     if os.path.exists(man_path):
         with open(man_path) as f:
             # a matching manifest only counts if the tables it promises are
@@ -901,6 +968,24 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
                     "sha256": [g["sha256"] for g in goldens],
                     "pixel_sha256": [g["pixel_sha256"] for g in goldens],
                     "error": [g["error"] for g in goldens],
+                }
+            ),
+        )
+
+    # ---- corpus (extracted web text for the cleaning ops) ---------------
+    if cfg.get("corpus"):
+        rng = random.Random(f"{seed}-corpus-{tier}")
+        chosts = _host_pool(random.Random(f"{seed}-corpus-hosts"), 40)
+        cdocs = [gen_corpus_doc(rng, i, chosts) for i in range(cfg["corpus"])]
+        _write(
+            os.path.join(out_dir, "corpus.parquet"),
+            pa.table(
+                {
+                    "doc_id": pa.array([d["doc_id"] for d in cdocs], pa.int64()),
+                    "url": [d["url"] for d in cdocs],
+                    "host": [d["host"] for d in cdocs],
+                    "lang": [d["lang"] for d in cdocs],
+                    "text": [d["text"] for d in cdocs],
                 }
             ),
         )

@@ -324,3 +324,130 @@ def unigram_logprob(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level cleanup (CCNet/RefinedWeb-style)
+# ---------------------------------------------------------------------------
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_freq: int = 5,
+    max_broadcast_lines: int | None = 4_000_000,
+) -> DataFrame:
+    """Cross-document boilerplate-line removal (the CCNet paragraph-dedup /
+    RefinedWeb line-filter stage): a line appearing in >= ``min_doc_freq``
+    DISTINCT documents is template chrome (copyright rows, subscribe
+    prompts, cookie banners) and is dropped from every document.  Returns
+    one row per input doc: (id, n_lines, n_removed, text_clean) with line
+    order preserved.
+
+    Scale shape (100 TB lens), three deliberate choices:
+
+    - **Line doc-frequency with NO (line, doc) distinct shuffle**: per-doc
+      dedup happens map-side via ``array_distinct`` on the split array
+      BEFORE the explode, so the ``groupBy(line).count()`` partial-
+      aggregates template lines down to one row per line per task.
+    - **Guarded broadcast of the hot set** (same pattern as
+      :func:`decontaminate`): hot lines are bounded by
+      total_lines/min_doc_freq and are ~10^5..10^7 template strings on a
+      real crawl, so the anti-join probe side broadcasts; a pathological
+      corpus (every line shared) is caught by a short-circuiting
+      ``limit(cap+1).count()`` probe and falls back to a shuffle join.
+    - **One reassembly shuffle and NO second corpus join**: every doc's
+      exploded rows are prefixed with a null-line SENTINEL row — a null
+      join key never matches, so the sentinel always survives the
+      left-anti join and every doc (even one whose every line was hot)
+      reaches the reassembly groupBy.  The naive alternative — left-join
+      the rebuilt docs back onto the id relation to restore emptied docs
+      — is a second corpus-scale join that the optimizer is tempted to
+      BROADCAST (the rebuilt side carries full document text; at 100 TB
+      that is a driver OOM, not a plan).
+    """
+    arr = df.select(
+        F.col(id_col).alias("_id"), F.split(F.col(text_col), "\n").alias("_arr")
+    )
+    freq = (
+        arr.select(F.explode(F.array_distinct("_arr")).alias("_line"))
+        .groupBy("_line")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    hot = freq.filter(F.col("_df") >= min_doc_freq).select("_line")
+    if max_broadcast_lines is None:
+        hot_rel = F.broadcast(hot)
+    else:
+        n_probe = hot.limit(max_broadcast_lines + 1).count()
+        hot_rel = F.broadcast(hot) if n_probe <= max_broadcast_lines else hot
+    sentinel = F.array(F.lit(None).cast("string"))
+    lines = arr.select(
+        "_id",
+        F.size("_arr").cast("bigint").alias("_n_lines"),
+        F.posexplode(F.concat(sentinel, F.col("_arr"))).alias("_pos", "_line"),
+    )
+    kept = lines.join(hot_rel, "_line", "left_anti")
+    return kept.groupBy("_id", "_n_lines").agg(
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"].isNotNull(),
+                ),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+    ).select(
+        F.col("_id").alias(id_col),
+        F.col("_n_lines").alias("n_lines"),
+        (F.col("_n_lines") - F.col("_n_kept")).cast("bigint").alias("n_removed"),
+        "text_clean",
+    )
+
+
+def dedup_doc_lines(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Intra-document duplicate-line removal (keep the FIRST occurrence,
+    preserve order) — the within-page half of CCNet's line dedup; scraped
+    pages repeat nav fragments and lazy-loaded paragraphs.
+
+    Zero shuffle: ``array_distinct`` keeps first-occurrence order and runs
+    entirely inside the scan stage's codegen — the whole op is a
+    projection.  Output: (id, n_lines, n_dup_lines, text_dedup)."""
+    arr = F.split(F.col(text_col), "\n")
+    ded = F.array_distinct(arr)
+    return df.select(
+        F.col(id_col),
+        F.size(arr).cast("bigint").alias("n_lines"),
+        (F.size(arr) - F.size(ded)).cast("bigint").alias("n_dup_lines"),
+        F.array_join(ded, "\n").alias("text_dedup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-mixture sampling (per-source rates)
+# ---------------------------------------------------------------------------
+def mixture_sample(
+    df,
+    rates: dict[str, int],
+    group_col: str = "source",
+    key_col: str = "text",
+    modulus: int = 100,
+    default_pct: int = 0,
+) -> DataFrame:
+    """Deterministic per-source subsampling to hit a training-mixture recipe
+    (keep ``rates[source]`` percent of each source's docs; unlisted sources
+    keep ``default_pct``).  The Pile/Dolma-style domain reweighting, minus
+    the nondeterminism: membership is a pure function of the CONTENT hash,
+    so reruns, repartitions, and incremental top-ups select the same rows.
+
+    Scale: the rate map is a literal ``create_map`` folded into ONE scan-
+    stage predicate — no join, no shuffle, no RNG state, no driver-side
+    rate table to distribute."""
+    pairs = [x for k, v in sorted(rates.items()) for x in (F.lit(k), F.lit(int(v)))]
+    pct = F.coalesce(
+        F.create_map(*pairs)[F.col(group_col)], F.lit(int(default_pct))
+    )
+    return df.filter(sample_bucket(F.col(key_col), modulus) < pct)

@@ -1,0 +1,90 @@
+"""PII detection and redaction over extracted web text.
+
+A standard stage of every published web-corpus pipeline (C4 strips lines by
+blocklist; FineWeb/RefinedWeb anonymize emails and IPs before release); the
+reference app has no analogue — it ships raw extracted text to an external
+service (reference behavior boundary: src/ai/flows/extract-data-from-pdf.ts
+sends the whole document out) — so this stage is where a self-hosted rebuild
+must add the redaction the reference outsources.
+
+Scale design (the 100 TB lens): the whole stage is three
+``regexp_extract_all`` counts + three chained ``regexp_replace`` calls —
+pure JVM whole-stage-codegen expressions, evaluated inside the scan stage.
+No shuffle, no UDF, no Python worker; throughput is regex-engine-bound and
+scales with input bytes exactly like the extraction flagship.
+
+Cross-engine contract: the three patterns restrict themselves to the regex
+subset where Java's engine (Spark) and RE2 (DuckDB oracle) agree — character
+classes, bounded/unbounded repetition, non-capturing groups, and ``\\b`` word
+boundaries; no backreferences, no lookaround (RE2 has neither).  Replacement
+is applied in the FIXED order email -> ipv4 -> phone on both sides (the
+match counts are computed on the ORIGINAL text, so count columns are
+order-independent; the redacted text is order-dependent, hence the frozen
+order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# The frozen pattern set (see module docstring for the dialect contract).
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PHONE_RE = r"\+?\d[\d\-() ]{7,}\d"
+
+EMAIL_TOKEN = "<EMAIL>"
+IPV4_TOKEN = "<IP>"
+PHONE_TOKEN = "<PHONE>"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append per-doc PII match counts and a redacted text column.
+
+    Adds ``n_emails`` / ``n_ipv4`` / ``n_phones`` (matches in the original
+    text) and ``text_redacted`` (matches replaced by typed tokens, in the
+    frozen email -> ipv4 -> phone order).  All other columns pass through.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, EMAIL_TOKEN), IPV4_RE, IPV4_TOKEN
+        ),
+        PHONE_RE,
+        PHONE_TOKEN,
+    )
+    return (
+        df.withColumn(
+            "n_emails",
+            F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))).cast("bigint"),
+        )
+        .withColumn(
+            "n_ipv4",
+            F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0))).cast("bigint"),
+        )
+        .withColumn(
+            "n_phones",
+            F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0))).cast("bigint"),
+        )
+        .withColumn("text_redacted", redacted)
+    )
+
+
+def pii_oracle_sql(corpus_rel: str, text_col: str = "text") -> str:
+    """The DuckDB mirror of :func:`redact_pii` over ``corpus_rel`` —
+    generated from the SAME frozen pattern constants so the two engines
+    cannot drift apart pattern-by-pattern."""
+    esc = lambda p: p.replace("'", "''")  # noqa: E731
+    e, i, p = esc(EMAIL_RE), esc(IPV4_RE), esc(PHONE_RE)
+    return f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all({text_col}, '{e}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all({text_col}, '{i}')) AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all({text_col}, '{p}')) AS BIGINT) AS n_phones,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace({text_col}, '{e}', '{EMAIL_TOKEN}', 'g'),
+                   '{i}', '{IPV4_TOKEN}', 'g'),
+                 '{p}', '{PHONE_TOKEN}', 'g') AS text_redacted
+        FROM {corpus_rel}
+    """

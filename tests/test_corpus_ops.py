@@ -260,3 +260,137 @@ def test_decontaminate_pathological_benchmark_falls_back(spark):
     # the per-doc join (the gram join still broadcasts the benchmark side)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# line-level cleanup + PII + mixture (round 4)
+# ---------------------------------------------------------------------------
+def test_redact_pii_semantics(spark):
+    from ocr_spark.operators.pii import redact_pii
+
+    rows = [
+        (1, "Contact me at john.doe+x@example.co.uk or admin@sub.host.org."),
+        (2, "Served from 192.168.1.1 and 10.0.0.255 today"),
+        (3, "Call +1 415-555-2671 now"),
+        (4, "no pii, just an @ sign and 1.2 numbers"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_ipv4"], got[1]["n_phones"]) == (2, 0, 0)
+    assert got[1]["text_redacted"] == "Contact me at <EMAIL> or <EMAIL>."
+    assert (got[2]["n_emails"], got[2]["n_ipv4"]) == (0, 2)
+    assert got[2]["text_redacted"] == "Served from <IP> and <IP> today"
+    assert got[3]["n_phones"] == 1
+    assert got[3]["text_redacted"] == "Call <PHONE> now"
+    assert got[4]["text_redacted"] == rows[3][1]
+    assert got[5]["text_redacted"] == ""
+
+
+def test_redact_pii_plan_is_pure_projection(spark):
+    """The whole stage must be JVM regexp expressions inside the scan stage:
+    no shuffle, no Python evaluator of any kind."""
+    from ocr_spark.operators.pii import redact_pii
+
+    df = spark.createDataFrame([(1, "a@b.co")], "doc_id long, text string")
+    plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_remove_boilerplate_lines_semantics(spark):
+    from ocr_spark.operators.corpus_ops import remove_boilerplate_lines
+
+    footer = "(c) 2025 example.com"
+    rows = [(i, f"{footer}\nbody line {i}\n\nmore {i}") for i in range(5)]
+    rows.append((5, footer))             # all-boilerplate doc -> empty clean
+    rows.append((6, "unique\nsolo doc"))  # untouched
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in remove_boilerplate_lines(df, min_doc_freq=5).collect()}
+    for i in range(5):
+        # the footer AND the blank separator both sit in 5 docs -> both hot
+        assert got[i]["text_clean"] == f"body line {i}\nmore {i}"
+        assert (got[i]["n_lines"], got[i]["n_removed"]) == (4, 2)
+    assert got[5]["text_clean"] == "" and got[5]["n_removed"] == 1
+    assert got[6]["text_clean"] == "unique\nsolo doc" and got[6]["n_removed"] == 0
+
+
+def test_remove_boilerplate_pathological_falls_back(spark):
+    """A corpus where EVERY line is hot makes the hot set corpus-scale; the
+    guarded broadcast must detect this and complete via the shuffle-join
+    fallback with identical results."""
+    from ocr_spark.operators.corpus_ops import remove_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [(i, "same line\nother shared") for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = remove_boilerplate_lines(df, min_doc_freq=5, max_broadcast_lines=1)
+    rows = out.collect()
+    assert all(r["text_clean"] == "" and r["n_removed"] == 2 for r in rows)
+    assert len(rows) == 30
+
+
+def test_dedup_doc_lines_keeps_first_occurrence_order(spark):
+    from ocr_spark.operators.corpus_ops import dedup_doc_lines
+
+    df = spark.createDataFrame(
+        [(1, "b\na\nb\nc\na"), (2, ""), (3, "x")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in dedup_doc_lines(df).collect()}
+    assert got[1]["text_dedup"] == "b\na\nc"
+    assert (got[1]["n_lines"], got[1]["n_dup_lines"]) == (5, 2)
+    assert got[2]["text_dedup"] == "" and got[2]["n_lines"] == 1
+    assert got[3]["n_dup_lines"] == 0
+    # zero shuffle, zero Python: the op is a scan-stage projection
+    plan = dedup_doc_lines(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from ocr_spark.operators.corpus_ops import mixture_sample
+
+    rows = [
+        (i, f"document body {i}", ["web", "books", "code"][i % 3])
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = mixture_sample(
+        df, {"web": 100, "books": 50, "code": 0}, default_pct=0
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src.get("web", set())) == 200      # 100% of web
+    assert 60 <= len(by_src.get("books", set())) <= 140  # ~50% of books
+    assert "code" not in by_src                       # 0% of code
+    # content-keyed: a reshuffled copy selects the same docs
+    df2 = spark.createDataFrame(list(reversed(rows)),
+                                "doc_id long, text string, source string").repartition(5)
+    out2 = {r["doc_id"] for r in mixture_sample(
+        df2, {"web": 100, "books": 50, "code": 0}, default_pct=0).collect()}
+    assert out2 == {r["doc_id"] for r in out}
+    # scan-stage predicate: no shuffle anywhere
+    plan = mixture_sample(df, {"web": 10})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_remove_boilerplate_plan_single_corpus_shuffle(spark):
+    """The sentinel design must leave exactly TWO hash exchanges — the tiny
+    line-frequency aggregation and the per-doc reassembly — and NO second
+    corpus-side join (the naive id-relation left join broadcasts full
+    rebuilt documents; at 100 TB that is a driver OOM)."""
+    from ocr_spark.operators.corpus_ops import remove_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [(i, f"a{i}\nshared\nb{i}") for i in range(30)], "doc_id long, text string"
+    )
+    out = remove_boilerplate_lines(df, min_doc_freq=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    # the only join is the left-anti hot-line probe
+    assert plan.count("Join") == plan.count("LeftAnti")
+    # all-hot docs still come back (the sentinel row carries them)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == 30 and got[0]["n_removed"] == 1
