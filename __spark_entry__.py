@@ -503,6 +503,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce(F.col("meta.error"), F.lit("")).alias("error"),
         )
 
+    def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """PCM feature extraction (peak amplitude + exact-integer energy
+        over centered samples): kernel re-derives from the BYTES with
+        numpy; the golden recomputes the frozen spec from the generator's
+        in-memory sample buffer via pure-Python struct loops."""
+        from ocr_spark.operators.multimodal import audio_features
+
+        media = spark.read.parquet(f"{fix}/audio.parquet")
+        m = audio_features(media)
+        return m.select(
+            "media_id",
+            F.col("feat.n_frames").alias("n_frames"),
+            F.col("feat.peak_abs").alias("peak_abs"),
+            F.col("feat.sumsq").alias("sumsq"),
+            F.coalesce(F.col("feat.error"), F.lit("")).alias("error"),
+        )
+
+    def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Real NN thumbnail: decode (inflate + unfilter) -> 16x16
+        nearest-neighbor resize -> sha256 of the resized bytes; the golden
+        resizes the generator's pre-filter pixel buffer through
+        independent per-pixel Python loops."""
+        from ocr_spark.operators.multimodal import resize_images
+
+        media = spark.read.parquet(f"{fix}/image.parquet")
+        return resize_images(media).select(
+            "media_id",
+            "width",
+            "height",
+            "resized_sha256",
+            F.coalesce(F.col("error"), F.lit("")).alias("error"),
+        )
+
     # -- corpus construction ops ------------------------------------------
     def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ocr_spark.operators.corpus_ops import deterministic_sample
@@ -730,6 +763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter_audit": q_corpus_filter_audit,
         "corpus_filter_near": q_corpus_filter_near,
         "audio_meta": q_audio_meta,
+        "audio_features": q_audio_features,
+        "image_resize": q_image_resize,
         "video_meta": q_video_meta,
         "image_meta": q_image_meta,
         "sample_deterministic": q_sample_deterministic,
@@ -1151,6 +1186,19 @@ def oracle_sql() -> dict[str, str]:
         "image_meta": f"""
             SELECT media_id, width, height, n_channels, sha256,
                    pixel_sha256, coalesce(error, '') AS error
+            FROM '{fix}/golden_image.parquet'
+        """,
+        # feature-extract stages: goldens recompute the frozen specs from
+        # the generator's in-memory buffers via pure-Python loops (kernel:
+        # numpy over the parsed bytes — independent code paths)
+        "audio_features": f"""
+            SELECT media_id, n_frames, peak_abs, sumsq,
+                   coalesce(error, '') AS error
+            FROM '{fix}/golden_audio.parquet'
+        """,
+        "image_resize": f"""
+            SELECT media_id, width, height, resized_sha256,
+                   coalesce(error, '') AS error
             FROM '{fix}/golden_image.parquet'
         """,
         "corpus_filter_audit": f"""

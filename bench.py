@@ -45,8 +45,10 @@ BENCH_QUERIES = [
     "corpus_filter_audit",
     "corpus_filter_near",
     "audio_meta",
+    "audio_features",
     "video_meta",
     "image_meta",
+    "image_resize",
     "sample_deterministic",
     "decontaminate",
     "pack_sequences",

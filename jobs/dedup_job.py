@@ -6,7 +6,8 @@ jobs/extract_job.py, production-shaped for a cluster launch:
         [--audit <icelite root for the per-doc audit>] \
         [--signatures <icelite root for reusable minhash signatures>] \
         [--near-dedup] [--near-threshold 0.8] [--langs en,fr] \
-        [--min-chars 50] [--min-gopher-stopwords 0]
+        [--min-chars 50] [--min-gopher-stopwords 0] \
+        [--strip-boilerplate 5] [--dedup-doc-lines] [--redact-pii]
 
 Runs ``corpus_filter`` (rule battery -> optional language filter ->
 benchmark decontamination -> exact dedup -> optional MinHash-LSH
@@ -46,6 +47,21 @@ def main(argv: list[str] | None = None) -> dict:
     )
     p.add_argument("--min-chars", type=int, default=None)
     p.add_argument("--min-gopher-stopwords", type=int, default=None)
+    p.add_argument(
+        "--redact-pii", action="store_true",
+        help="rewrite text with emails/IPs/phones replaced by typed tokens "
+        "(scan-stage regexp; runs before the filter battery)",
+    )
+    p.add_argument(
+        "--dedup-doc-lines", action="store_true",
+        help="drop repeated lines within each doc, keeping first occurrence "
+        "(scan-stage projection)",
+    )
+    p.add_argument(
+        "--strip-boilerplate", type=int, default=None, metavar="MIN_DF",
+        help="remove lines appearing in >= MIN_DF distinct docs (cross-doc "
+        "line frequency + broadcast anti-join + one doc_id-keyed rejoin)",
+    )
     p.add_argument("--buckets", type=int, default=16)
     p.add_argument("--cores", type=int, default=None, help="local mode only")
     args = p.parse_args(argv)
@@ -83,6 +99,34 @@ def main(argv: list[str] | None = None) -> dict:
     if args.min_gopher_stopwords is not None:
         rules["min_gopher_stopwords"] = args.min_gopher_stopwords
 
+    # line-level pre-stages rewrite `text` BEFORE the filter battery, in
+    # the order a production pipeline wants them: cross-doc boilerplate
+    # strip (template chrome would otherwise skew quality rules and hash
+    # dedup), then intra-doc line dedup, then PII redaction (tokens must
+    # not be re-split by later line ops).  The kept table carries the
+    # CLEANED text — dedup keys and audit reasons refer to it.
+    pre_stages = []
+    if args.strip_boilerplate is not None:
+        from pyspark.sql import functions as _F
+
+        from ocr_spark.operators.corpus_ops import remove_boilerplate_lines
+
+        cleaned = remove_boilerplate_lines(
+            docs, min_doc_freq=args.strip_boilerplate
+        ).select("doc_id", _F.col("text_clean").alias("text"))
+        docs = docs.drop("text").join(cleaned, "doc_id")
+        pre_stages.append(f"strip_boilerplate>={args.strip_boilerplate}")
+    if args.dedup_doc_lines:
+        from ocr_spark.operators.corpus_ops import dedup_lines_expr
+
+        docs = docs.withColumn("text", dedup_lines_expr(docs["text"]))
+        pre_stages.append("dedup_doc_lines")
+    if args.redact_pii:
+        from ocr_spark.operators.pii import redact_expr
+
+        docs = docs.withColumn("text", redact_expr(docs["text"]))
+        pre_stages.append("redact_pii")
+
     try:
         sig_tbl = (
             IceliteTable(args.signatures, key_col="doc_id", n_buckets=args.buckets)
@@ -107,6 +151,8 @@ def main(argv: list[str] | None = None) -> dict:
         out = IceliteTable(args.output, key_col="doc_id", n_buckets=args.buckets)
         out.drop()
         stats = {"job": "dedup", "output": args.output}
+        if pre_stages:
+            stats["pre_stages"] = pre_stages
         if args.audit:
             # commit the audit first, then DERIVE everything else from the
             # committed table: the heavy filter pipeline executes exactly

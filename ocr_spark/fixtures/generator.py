@@ -62,7 +62,7 @@ def join_blocks(blocks: list[str]) -> tuple[str, list[tuple[str, int, int]]]:
     return "\n".join(normed), spans
 
 SEED = 42
-FORMAT_VERSION = 24  # bump to force regeneration everywhere (v24: corpus table for pii/boilerplate/mixture ops)
+FORMAT_VERSION = 25  # bump to force regeneration everywhere (v25: audio pcm-feature + image nn-resize goldens)
 
 # bench is sized so the extraction stage runs for seconds, not hundreds of
 # milliseconds, at local[32] — otherwise the ~0.3 s fixed job floor (task
@@ -898,6 +898,8 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
                     "duration_s": pa.array([g["duration_s"] for g in goldens], pa.float64()),
                     "sha256": [g["sha256"] for g in goldens],
                     "error": [g["error"] for g in goldens],
+                    "peak_abs": pa.array([g["peak_abs"] for g in goldens], pa.int64()),
+                    "sumsq": pa.array([g["sumsq"] for g in goldens], pa.int64()),
                 }
             ),
         )
@@ -968,6 +970,7 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
                     "sha256": [g["sha256"] for g in goldens],
                     "pixel_sha256": [g["pixel_sha256"] for g in goldens],
                     "error": [g["error"] for g in goldens],
+                    "resized_sha256": [g["resized_sha256"] for g in goldens],
                 }
             ),
         )
@@ -1004,6 +1007,47 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
 _WAV_RATES = (8000, 16000, 22050, 44100)
 
 
+def _pcm_stats(pcm: bytes, sampwidth: int, n_frames: int, block_align: int) -> tuple[int, int]:
+    """Frozen audio-feature spec, GENERATOR side (kernel counterpart:
+    multimodal._wav_features via numpy — independent code paths): centered
+    samples (8-bit unsigned - 128; 16-bit signed LE), peak |centered| and
+    exact-integer sum of squares over complete frames only."""
+    import struct as _struct
+
+    data = pcm[: n_frames * block_align]
+    peak = 0
+    sumsq = 0
+    if sampwidth == 1:
+        for (b,) in _struct.iter_unpack("<B", data):
+            c = b - 128
+            a = -c if c < 0 else c
+            if a > peak:
+                peak = a
+            sumsq += c * c
+    else:
+        for (s,) in _struct.iter_unpack("<h", data):
+            a = -s if s < 0 else s
+            if a > peak:
+                peak = a
+            sumsq += s * s
+    return peak, sumsq
+
+
+def _nn_resize_py(pixels: bytes, w: int, h: int, ch: int, t: int = 16) -> bytes:
+    """Frozen NN-resize spec, GENERATOR side (kernel counterpart:
+    multimodal._nn_resize via numpy fancy indexing): src = (dst * src_dim)
+    // t, per-pixel Python loops over the pre-filter buffer."""
+    out = bytearray()
+    stride = w * ch
+    for y in range(t):
+        sy = (y * h) // t
+        for x in range(t):
+            sx = (x * w) // t
+            off = sy * stride + sx * ch
+            out += pixels[off : off + ch]
+    return bytes(out)
+
+
 def gen_audio_doc(rng: random.Random, media_id: int) -> tuple[bytes | None, dict]:
     """Returns (payload, golden-metadata dict).  ~70% valid PCM WAVs; the
     rest exercise the per-row error taxonomy: non-PCM codec (patched format
@@ -1017,7 +1061,7 @@ def gen_audio_doc(rng: random.Random, media_id: int) -> tuple[bytes | None, dict
         return {
             "media_id": media_id, "n_channels": 0, "sample_rate": 0,
             "bits_per_sample": 0, "n_frames": 0, "duration_s": 0.0,
-            "sha256": sha, "error": err,
+            "sha256": sha, "error": err, "peak_abs": 0, "sumsq": 0,
         }
 
     roll = rng.random()
@@ -1042,24 +1086,31 @@ def gen_audio_doc(rng: random.Random, media_id: int) -> tuple[bytes | None, dict
         w.setframerate(rate)
         w.writeframes(pcm)
     payload = buf.getvalue()  # canonical 44-byte header + data
+    peak, sumsq = _pcm_stats(pcm, sampwidth, frames, block_align)
     base = {
         "media_id": media_id, "n_channels": ch, "sample_rate": rate,
         "bits_per_sample": sampwidth * 8, "n_frames": frames,
         "duration_s": round(frames / rate, 6), "sha256": "", "error": None,
+        "peak_abs": peak, "sumsq": sumsq,
     }
     if roll < 0.2:  # non-PCM codec: patch the fmt audio-format code (85=MP3)
         p = bytearray(payload)
         p[20:22] = struct.pack("<H", 85)
         payload = bytes(p)
-        base.update(n_frames=0, duration_s=0.0, error="UNSUPPORTED_CODEC")
+        base.update(
+            n_frames=0, duration_s=0.0, error="UNSUPPORTED_CODEC",
+            peak_abs=0, sumsq=0,
+        )
     elif roll < 0.26:  # data chunk cut in half mid-stream
         data_size = frames * block_align
         payload = payload[: 44 + data_size // 2]
         avail_frames = (data_size // 2) // block_align
+        peak, sumsq = _pcm_stats(pcm, sampwidth, avail_frames, block_align)
         base.update(
             n_frames=avail_frames,
             duration_s=round(avail_frames / rate, 6),
             error="TRUNCATED",
+            peak_abs=peak, sumsq=sumsq,
         )
     elif roll < 0.3:  # cut inside the header: fmt never parses
         payload = payload[:16]
@@ -1228,6 +1279,7 @@ def gen_image_doc(rng: random.Random, media_id: int) -> tuple[bytes | None, dict
         return {
             "media_id": media_id, "width": 0, "height": 0, "n_channels": 0,
             "sha256": sha, "pixel_sha256": "", "error": err,
+            "resized_sha256": "",
         }
 
     roll = rng.random()
@@ -1251,6 +1303,7 @@ def gen_image_doc(rng: random.Random, media_id: int) -> tuple[bytes | None, dict
     base = {
         "media_id": media_id, "width": w, "height": h, "n_channels": ch,
         "sha256": "", "pixel_sha256": "", "error": None,
+        "resized_sha256": "",  # only fully-valid decodes get a thumbnail
     }
     if roll < 0.17:  # IHDR chunk cut short: header never parses
         payload = _PNG_SIG + _png_ihdr(w, h, 8, ctype, 0)[:12]
@@ -1296,6 +1349,7 @@ def gen_image_doc(rng: random.Random, media_id: int) -> tuple[bytes | None, dict
     base.update(
         sha256=hashlib.sha256(payload).hexdigest(),
         pixel_sha256=hashlib.sha256(pixels).hexdigest(),
+        resized_sha256=hashlib.sha256(_nn_resize_py(pixels, w, h, ch)).hexdigest(),
     )
     return payload, base
 

@@ -406,6 +406,12 @@ def remove_boilerplate_lines(
     )
 
 
+def dedup_lines_expr(col):
+    """First-occurrence intra-doc line dedup as a bare Column —
+    composable into jobs that rewrite ``text`` in place."""
+    return F.array_join(F.array_distinct(F.split(col, "\n")), "\n")
+
+
 def dedup_doc_lines(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

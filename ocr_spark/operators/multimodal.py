@@ -132,6 +132,13 @@ def _png_decode(payload: bytes | None) -> dict:
       TRUNCATED — fewer complete scanlines than IHDR's height:
         pixel_sha256 covers the rows actually reconstructed.
     """
+    out, _pixels = _png_decode_full(payload)
+    return out
+
+
+def _png_decode_full(payload: bytes | None) -> tuple[dict, bytes | None]:
+    """:func:`_png_decode` plus the reconstructed pixel bytes (None unless
+    the unfilter ran), so downstream kernels (NN resize) reuse one decode."""
     import struct
     import zlib
 
@@ -141,29 +148,29 @@ def _png_decode(payload: bytes | None) -> dict:
     }
     if payload is None or len(payload) == 0:
         out["error"] = "EMPTY_INPUT"
-        return out
+        return out, None
     out["sha256"] = hashlib.sha256(payload).hexdigest()
     if len(payload) < 8 or payload[:8] != _PNG_SIG:
         out["error"] = "NOT_PNG"
-        return out
+        return out, None
     if len(payload) < 8 + 8 + 13 or payload[12:16] != b"IHDR":
         out["error"] = "BAD_IHDR"
-        return out
+        return out, None
     (ihdr_len,) = struct.unpack_from(">I", payload, 8)
     if ihdr_len != 13:
         out["error"] = "BAD_IHDR"
-        return out
+        return out, None
     w, h, depth, ctype, comp, filt, interlace = struct.unpack_from(
         ">IIBBBBB", payload, 16
     )
     if ctype not in _PNG_CHANNELS or w == 0 or h == 0:
         out["error"] = "BAD_IHDR"
-        return out
+        return out, None
     ch = _PNG_CHANNELS[ctype]
     out.update(width=w, height=h, n_channels=ch)
     if depth != 8 or ctype == 3 or comp != 0 or filt != 0 or interlace != 0:
         out["error"] = "UNSUPPORTED"
-        return out
+        return out, None
     # chunk walk: 4-byte BE length, 4-byte type, body, 4-byte CRC (not
     # validated — same stance as the WAV parser toward RIFF padding)
     idat = bytearray()
@@ -180,20 +187,20 @@ def _png_decode(payload: bytes | None) -> dict:
         pos += 8 + ln + 4
     if not idat:
         out["error"] = "NO_IDAT"
-        return out
+        return out, None
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         out["error"] = "DECODE_ERROR"
-        return out
+        return out, None
     pixels, n_rows, err = _png_unfilter(raw, w, h, ch)
     if err is not None:
         out["error"] = err
-        return out
+        return out, None
     out["pixel_sha256"] = hashlib.sha256(pixels).hexdigest()
     if n_rows < h:
         out["error"] = "TRUNCATED"
-    return out
+    return out, pixels
 
 
 def decode_images(media: DataFrame, deterministic_fake: bool = False) -> DataFrame:
@@ -239,6 +246,28 @@ AUDIO_META_TYPE = T.StructType(
 )
 
 
+def _riff_fmt_data(payload: bytes):
+    """RIFF chunk walk shared by the metadata and feature kernels: returns
+    ``(fmt_tuple | None, data_off | None, data_size | None)`` — fmt is the
+    unpacked ``<HHIIHH`` header, data the offset/declared-size of the first
+    ``data`` chunk (canonical WAV: the payload tail)."""
+    import struct
+
+    fmt = None
+    data_off = data_size = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt " and size >= 16 and pos + 8 + 16 <= len(payload):
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif cid == b"data":
+            data_off, data_size = pos + 8, size
+            break
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    return fmt, data_off, data_size
+
+
 def _wav_decode(payload: bytes | None) -> dict:
     """RIFF/WAVE header parse — pure stdlib ``struct``, no codec library:
     channels, sample rate, bit depth, frame count, duration.  The REAL
@@ -266,18 +295,7 @@ def _wav_decode(payload: bytes | None) -> dict:
     if len(payload) < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
         out["error"] = "NOT_RIFF"
         return out
-    fmt = None
-    data_off = data_size = None
-    pos = 12
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        (size,) = struct.unpack_from("<I", payload, pos + 4)
-        if cid == b"fmt " and size >= 16 and pos + 8 + 16 <= len(payload):
-            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
-        elif cid == b"data":
-            data_off, data_size = pos + 8, size
-            break  # canonical WAV: data is the payload tail
-        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    fmt, data_off, data_size = _riff_fmt_data(payload)
     if fmt is None:
         out["error"] = "NO_FMT"
         return out
@@ -319,6 +337,139 @@ def decode_audio(media: DataFrame) -> DataFrame:
             )
 
     return media.filter(F.col("kind") == "audio").mapInPandas(fn, out_schema)
+
+
+AUDIO_FEATURES_TYPE = T.StructType(
+    [
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("peak_abs", T.LongType(), False),
+        T.StructField("sumsq", T.LongType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def _wav_features(payload: bytes | None) -> dict:
+    """PCM feature extraction — the frozen spec (the fixture generator
+    recomputes it from its in-memory sample buffer through pure-Python
+    ``struct.iter_unpack`` loops; this kernel re-derives it from the BYTES
+    with numpy — independent code paths, exact-integer outputs):
+
+      centered sample: 8-bit WAV stores UNSIGNED bytes -> s - 128;
+        16-bit stores signed little-endian -> s as-is;
+      ``peak_abs``  = max |centered| over all channels (0 when no frames);
+      ``sumsq``     = sum of centered^2, exact integer (no float RMS —
+        engine/summation order cannot perturb it);
+      both cover COMPLETE frames only (a truncated trailing frame is
+      ignored, matching ``_wav_decode``'s frame accounting).
+
+    Error rows carry the metadata kernel's taxonomy with zero stats."""
+    import numpy as np
+
+    meta = _wav_decode(payload)
+    out = {
+        "n_frames": meta["n_frames"], "peak_abs": 0, "sumsq": 0,
+        "error": meta["error"],
+    }
+    if meta["error"] not in (None, "TRUNCATED") or meta["n_frames"] == 0:
+        return out
+    _fmt, data_off, _size = _riff_fmt_data(payload)
+    sampwidth = meta["bits_per_sample"] // 8
+    block_align = meta["n_channels"] * sampwidth
+    data = payload[data_off : data_off + meta["n_frames"] * block_align]
+    if sampwidth == 1:
+        centered = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+    else:
+        centered = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    out["peak_abs"] = int(np.abs(centered).max())
+    out["sumsq"] = int((centered * centered).sum())
+    return out
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """audio rows -> PCM features (peak amplitude, energy) via mapInPandas —
+    the feature-extract stage of the multimodal pipeline (decode ->
+    features -> filter/sample), with the same per-row error channel as the
+    metadata decode."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("feat", AUDIO_FEATURES_TYPE, False),
+        ]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "feat": [_wav_features(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(fn, out_schema)
+
+
+RESIZE_T = 16  # frozen default thumbnail edge for resize_images
+
+
+def _nn_resize(pixels: bytes, w: int, h: int, ch: int, t: int = RESIZE_T) -> bytes:
+    """Nearest-neighbor resize to ``t``x``t`` — the frozen mapping is
+    ``src_y = (dst_y * h) // t``, ``src_x = (dst_x * w) // t`` (pure
+    integer floor; works as pixel duplication when upscaling).  The
+    generator mirrors this spec with per-pixel Python loops over its
+    pre-filter buffer; this kernel uses numpy fancy indexing over the
+    reconstructed pixels — independent code paths, byte-exact output."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, ch)
+    ys = (np.arange(t) * h) // t
+    xs = (np.arange(t) * w) // t
+    return arr[np.ix_(ys, xs)].tobytes()
+
+
+def resize_images(media: DataFrame, size: int = RESIZE_T) -> DataFrame:
+    """image rows -> fixed-size NN thumbnail digest via mapInPandas: one
+    real decode (inflate + unfilter) feeding the resize kernel; rows whose
+    decode fails (or is TRUNCATED — a partial source has no well-defined
+    thumbnail) carry the decode taxonomy and an empty digest."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("resized_sha256", T.StringType(), False),
+            T.StructField("error", T.StringType(), True),
+        ]
+    )
+
+    def one(payload) -> dict:
+        meta, pixels = _png_decode_full(payload)
+        row = {
+            "width": meta["width"], "height": meta["height"],
+            "resized_sha256": "", "error": meta["error"],
+        }
+        if meta["error"] is None and pixels is not None:
+            row["resized_sha256"] = hashlib.sha256(
+                _nn_resize(pixels, meta["width"], meta["height"],
+                           meta["n_channels"], size)
+            ).hexdigest()
+        return row
+
+    def fn(batches):
+        for pdf in batches:
+            rows = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": [r["width"] for r in rows],
+                    "height": [r["height"] for r in rows],
+                    "resized_sha256": [r["resized_sha256"] for r in rows],
+                    "error": [r["error"] for r in rows],
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(fn, out_schema)
 
 
 VIDEO_META_TYPE = T.StructType(

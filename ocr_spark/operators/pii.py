@@ -38,6 +38,18 @@ IPV4_TOKEN = "<IP>"
 PHONE_TOKEN = "<PHONE>"
 
 
+def redact_expr(col):
+    """The redaction as a bare Column (frozen email -> ipv4 -> phone
+    order) — composable into jobs that rewrite ``text`` in place."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, EMAIL_RE, EMAIL_TOKEN), IPV4_RE, IPV4_TOKEN
+        ),
+        PHONE_RE,
+        PHONE_TOKEN,
+    )
+
+
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append per-doc PII match counts and a redacted text column.
 
@@ -46,13 +58,7 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     frozen email -> ipv4 -> phone order).  All other columns pass through.
     """
     t = F.col(text_col)
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, EMAIL_RE, EMAIL_TOKEN), IPV4_RE, IPV4_TOKEN
-        ),
-        PHONE_RE,
-        PHONE_TOKEN,
-    )
+    redacted = redact_expr(t)
     return (
         df.withColumn(
             "n_emails",

@@ -94,3 +94,50 @@ def test_dedup_job_bad_input_exit_2(spark, tmp_path):
     with pytest.raises(SystemExit) as e:
         main(["--input", "/nonexistent/nope.parquet", "--output", str(tmp_path / "o")])
     assert e.value.code == 2
+
+
+def test_dedup_job_line_cleanup_pre_stages(spark, tmp_path):
+    """--strip-boilerplate / --dedup-doc-lines / --redact-pii rewrite the
+    text BEFORE filtering: the kept table must carry cleaned text (no hot
+    boilerplate line, no duplicate lines, no raw emails)."""
+    from ocr_spark.fixtures.generator import ensure_fixtures
+    from jobs.dedup_job import main
+
+    fix = ensure_fixtures("tiny")
+    out = str(tmp_path / "kept")
+    stats = main([
+        "--input", f"{fix}/corpus.parquet",
+        "--output", out,
+        "--min-chars", "10",
+        "--strip-boilerplate", "5", "--dedup-doc-lines", "--redact-pii",
+        "--buckets", "4",
+    ])
+    assert stats["pre_stages"] == [
+        "strip_boilerplate>=5", "dedup_doc_lines", "redact_pii",
+    ]
+    # lines hot in the INPUT (>= 5 distinct docs) must be gone from the
+    # kept text; small-host boilerplate below the threshold legitimately
+    # survives
+    import collections
+    import re
+
+    src = spark.read.parquet(f"{fix}/corpus.parquet").collect()
+    df_count = collections.Counter()
+    for r in src:
+        for ln in set(r["text"].split("\n")):
+            df_count[ln] += 1
+    hot = {ln for ln, n in df_count.items() if n >= 5 and ln}
+    assert hot  # the fixture really plants cross-doc boilerplate
+
+    kept = IceliteTable(out, "doc_id", 4).read(spark)
+    rows = kept.select("doc_id", "text").collect()
+    assert rows
+    email = re.compile(r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}")
+    n_redacted = 0
+    for r in rows:
+        lines = r["text"].split("\n")
+        assert len(lines) == len(set(lines)), r["doc_id"]      # intra-doc dedup
+        assert not hot.intersection(lines), r["doc_id"]        # hot boiler gone
+        assert not email.search(r["text"]), r["doc_id"]        # pii gone
+        n_redacted += r["text"].count("<EMAIL>")
+    assert n_redacted > 0  # the corpus really contained emails

@@ -1028,18 +1028,27 @@ def test_png_generator_kernel_agree_across_taxonomy():
     """Property sweep: 400 generated PNG docs (independent forward-filter
     writer) decode to EXACTLY their parameter-derived goldens, and the
     sweep exercises every taxonomy code including TRUNCATED."""
+    import hashlib
     import random
 
     from ocr_spark.fixtures.generator import gen_image_doc
-    from ocr_spark.operators.multimodal import _png_decode
+    from ocr_spark.operators.multimodal import _nn_resize, _png_decode_full
 
     rng = random.Random("png-prop-7")
     seen = set()
     for mid in range(400):
         payload, golden = gen_image_doc(rng, mid)
-        got = _png_decode(payload)
+        got, pixels = _png_decode_full(payload)
         got["media_id"] = mid
-        assert got == golden, (mid, golden, got)
+        # decode fields byte-match the parameter-derived golden...
+        assert got == {k: golden[k] for k in got}, (mid, golden, got)
+        # ...and the NN-resize kernel matches the generator's Python mirror
+        rs = ""
+        if got["error"] is None and pixels is not None:
+            rs = hashlib.sha256(
+                _nn_resize(pixels, got["width"], got["height"], got["n_channels"])
+            ).hexdigest()
+        assert rs == golden["resized_sha256"], mid
         seen.add(golden["error"])
     assert seen == {
         None, "EMPTY_INPUT", "NOT_PNG", "BAD_IHDR",
@@ -1122,3 +1131,65 @@ def test_gopher_quality_rules(spark):
     assert got[4] == "ellipsis_lines"
     assert got[5] == "gopher_stopwords"
     assert got[6] == "dup_lines"
+
+
+def test_wav_features_spec_handpicked():
+    """Pin the frozen PCM-feature spec on hand-built WAVs: 8-bit samples
+    center at -128 (unsigned storage), 16-bit are signed LE; sumsq is
+    exact integer; truncated trailing frames are excluded."""
+    import io
+    import wave
+
+    from ocr_spark.operators.multimodal import _wav_features
+
+    def wav(ch, width, rate, pcm):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(ch)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            w.writeframes(pcm)
+        return buf.getvalue()
+
+    # 8-bit mono: bytes 0,128,255 -> centered -128,0,127
+    got = _wav_features(wav(1, 1, 8000, bytes([0, 128, 255])))
+    assert (got["n_frames"], got["peak_abs"]) == (3, 128)
+    assert got["sumsq"] == 128 * 128 + 0 + 127 * 127
+    assert got["error"] is None
+    # 16-bit stereo: frames (1000,-2000), (32767,-32768)
+    import struct
+
+    pcm = struct.pack("<4h", 1000, -2000, 32767, -32768)
+    got = _wav_features(wav(2, 2, 16000, pcm))
+    assert (got["n_frames"], got["peak_abs"]) == (2, 32768)
+    assert got["sumsq"] == 1000**2 + 2000**2 + 32767**2 + 32768**2
+    # truncated mid-frame: stats cover complete frames only
+    payload = wav(2, 2, 16000, pcm)
+    cut = payload[: 44 + 6]  # 1.5 of 2 four-byte frames
+    got = _wav_features(cut)
+    assert got["error"] == "TRUNCATED"
+    assert (got["n_frames"], got["sumsq"]) == (1, 1000**2 + 2000**2)
+    # error rows: zero stats, taxonomy preserved
+    assert _wav_features(b"JUNKJUNKJUNK")["error"] == "NOT_RIFF"
+    assert _wav_features(b"")["sumsq"] == 0
+
+
+def test_nn_resize_spec_handpicked():
+    """Pin src = (dst * src_dim) // t on a 2x2 RGB image resized to 4x4:
+    each source pixel must appear as a 2x2 block (floor mapping), and the
+    kernel must byte-match the generator's pure-Python mirror."""
+    from ocr_spark.fixtures.generator import _nn_resize_py
+    from ocr_spark.operators.multimodal import _nn_resize
+
+    # 2x2 RGB: pixels A B / C D
+    a, b, c, d = b"\x01\x02\x03", b"\x04\x05\x06", b"\x07\x08\x09", b"\x0a\x0b\x0c"
+    pixels = a + b + c + d
+    got = _nn_resize(pixels, 2, 2, 3, t=4)
+    want = (a * 2 + b * 2) * 2 + (c * 2 + d * 2) * 2
+    assert got == want
+    assert got == _nn_resize_py(pixels, 2, 2, 3, t=4)
+    # non-divisible downscale: 3x3 gray -> 2x2 takes rows/cols 0 and 1
+    g = bytes(range(9))
+    got = _nn_resize(g, 3, 3, 1, t=2)
+    assert got == bytes([0, 1, 3, 4])
+    assert got == _nn_resize_py(g, 3, 3, 1, t=2)
