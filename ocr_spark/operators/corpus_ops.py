@@ -365,8 +365,11 @@ def remove_boilerplate_lines(
       BROADCAST (the rebuilt side carries full document text; at 100 TB
       that is a driver OOM, not a plan).
     """
+    # NULL text folds to "" so the doc still reaches the output (a null
+    # split array would silently drop it from the exploded relation)
     arr = df.select(
-        F.col(id_col).alias("_id"), F.split(F.col(text_col), "\n").alias("_arr")
+        F.col(id_col).alias("_id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n").alias("_arr"),
     )
     freq = (
         arr.select(F.explode(F.array_distinct("_arr")).alias("_line"))
@@ -421,8 +424,9 @@ def dedup_doc_lines(
 
     Zero shuffle: ``array_distinct`` keeps first-occurrence order and runs
     entirely inside the scan stage's codegen — the whole op is a
-    projection.  Output: (id, n_lines, n_dup_lines, text_dedup)."""
-    arr = F.split(F.col(text_col), "\n")
+    projection.  NULL text folds to "" (one empty line).  Output:
+    (id, n_lines, n_dup_lines, text_dedup)."""
+    arr = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
     ded = F.array_distinct(arr)
     return df.select(
         F.col(id_col),

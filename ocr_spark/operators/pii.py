@@ -56,23 +56,22 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     Adds ``n_emails`` / ``n_ipv4`` / ``n_phones`` (matches in the original
     text) and ``text_redacted`` (matches replaced by typed tokens, in the
     frozen email -> ipv4 -> phone order).  All other columns pass through.
+    NULL text counts as zero matches and stays NULL after redaction
+    (``size()`` over a null array would otherwise report -1).
     """
     t = F.col(text_col)
-    redacted = redact_expr(t)
+
+    def n_matches(pattern: str):
+        return F.coalesce(
+            F.size(F.regexp_extract_all(t, F.lit(pattern), F.lit(0))),
+            F.lit(0),
+        ).cast("bigint")
+
     return (
-        df.withColumn(
-            "n_emails",
-            F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))).cast("bigint"),
-        )
-        .withColumn(
-            "n_ipv4",
-            F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0))).cast("bigint"),
-        )
-        .withColumn(
-            "n_phones",
-            F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0))).cast("bigint"),
-        )
-        .withColumn("text_redacted", redacted)
+        df.withColumn("n_emails", n_matches(EMAIL_RE))
+        .withColumn("n_ipv4", n_matches(IPV4_RE))
+        .withColumn("n_phones", n_matches(PHONE_RE))
+        .withColumn("text_redacted", redact_expr(t))
     )
 
 

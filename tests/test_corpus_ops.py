@@ -394,3 +394,26 @@ def test_remove_boilerplate_plan_single_corpus_shuffle(spark):
     # all-hot docs still come back (the sentinel row carries them)
     got = {r["doc_id"]: r for r in out.collect()}
     assert len(got) == 30 and got[0]["n_removed"] == 1
+
+
+def test_line_ops_null_text_semantics(spark):
+    """NULL text must not drop docs or emit -1 counts: pii counts fold to
+    0 (text_redacted stays NULL); the line ops treat NULL as empty."""
+    from ocr_spark.operators.corpus_ops import (
+        dedup_doc_lines,
+        remove_boilerplate_lines,
+    )
+    from ocr_spark.operators.pii import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a@b.co\na@b.co")], "doc_id long, text string"
+    )
+    pii = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert (pii[1]["n_emails"], pii[1]["text_redacted"]) == (0, None)
+    assert pii[2]["n_emails"] == 2
+    boiler = {r["doc_id"]: r for r in remove_boilerplate_lines(df, min_doc_freq=9).collect()}
+    assert set(boiler) == {1, 2}
+    assert (boiler[1]["n_lines"], boiler[1]["text_clean"]) == (1, "")
+    ded = {r["doc_id"]: r for r in dedup_doc_lines(df).collect()}
+    assert (ded[1]["n_lines"], ded[1]["text_dedup"]) == (1, "")
+    assert ded[2]["n_dup_lines"] == 1
