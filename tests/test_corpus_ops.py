@@ -417,3 +417,44 @@ def test_line_ops_null_text_semantics(spark):
     ded = {r["doc_id"]: r for r in dedup_doc_lines(df).collect()}
     assert (ded[1]["n_lines"], ded[1]["text_dedup"]) == (1, "")
     assert ded[2]["n_dup_lines"] == 1
+
+
+def test_pii_cross_engine_adversarial_corpus(spark):
+    """The frozen pattern trio must behave IDENTICALLY under Java regex
+    (Spark) and RE2 (DuckDB) on the inputs most likely to expose dialect
+    divergence: greedy TLD boundaries, \\b inside alnum runs, 5-quad IPs
+    (leftmost-longest vs leftmost-first), digit-run phones, unicode around
+    pattern edges, overlapping candidates.  The fixture-corpus oracle
+    proves agreement on the planted distribution; this pins the corners."""
+    import duckdb
+
+    from ocr_spark.operators.pii import pii_oracle_sql, redact_pii
+
+    cases = [
+        "a@b.co", "x a@b.c y", "trailing dot a@b.com.",
+        "a.b-c_d%e+f@g-h.i.jk", "@nodomain.com and user@", "double@@at.com",
+        "1.2.3.4", "a1.2.3.4b", "999.999.999.999 and 0.0.0.0", "1.2.3.4.5",
+        "v1.2.3 release", "+1 (415) 555-2671", "tel:+442079460958",
+        "12345678", "1234567", "12-34 56 78 90", "()()()()()9",
+        "email in ip 1.2.3.4@example.com",
+        "a@b.co 1.2.3.4 +1 415-555-2671 a@b.co",
+        "ümlaut@exämple.com", "أ@أ.com", "line1\na@b.co\nline3",
+        "phone +1 415-555-2671.", "(1.2.3.4)", "..a@b.co..",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    got = (
+        redact_pii(df)
+        .select("doc_id", "n_emails", "n_ipv4", "n_phones", "text_redacted")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("corpus", df.toPandas())
+    want = (
+        con.execute(pii_oracle_sql("corpus"))
+        .df().sort_values("doc_id").reset_index(drop=True)
+    )
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)]
+    assert got.equals(want), got.compare(want)
