@@ -141,6 +141,9 @@ def main(argv: list[str] | None = None) -> dict:
             near_threshold=args.near_threshold,
             signatures_table=sig_tbl,
             benchmark=bench_df,
+            # pre-stages rewrite the text the signatures hash — a rerun
+            # with different flags must refuse the stale signature table
+            input_token=",".join(pre_stages) if pre_stages else None,
         )
         from pyspark.sql import functions as F
 

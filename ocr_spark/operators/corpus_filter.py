@@ -53,6 +53,7 @@ def corpus_filter(
     signatures_table=None,
     benchmark: DataFrame | None = None,
     decont_n: int = 13,
+    input_token: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (kept, audit).  audit: (id, keep boolean, reason string) —
     reason is the FIRST failing stage, 'kept' otherwise.  Stage order:
@@ -69,7 +70,14 @@ def corpus_filter(
     ``benchmark``: an eval-set DataFrame (same id/text columns) — docs
     sharing a word ``decont_n``-gram with it are dropped with reason
     'contaminated' (GPT-3-style test-set decontamination; the benchmark
-    gram set broadcasts, see corpus_ops.decontaminate)."""
+    gram set broadcasts, see corpus_ops.decontaminate).
+
+    ``input_token``: callers that TRANSFORM the text before passing it in
+    (e.g. dedup_job's line-cleanup pre-stages) must describe the transform
+    here — it is folded into the signature-table fingerprint, so a rerun
+    with different pre-processing refuses the stale signatures instead of
+    clustering cleaned text with uncleaned-text hashes (the count-based
+    identity cannot see a rewrite that preserves row count)."""
     r = {**DEFAULT_RULES, **(rules or {})}
     q = with_gopher_quality(with_quality(df, text_col), text_col)
     n_chars = F.length(F.col(text_col))
@@ -164,6 +172,7 @@ def corpus_filter(
                     "input_docs": df.count(),
                     "benchmark": bench_digest,
                     "decont_n": decont_n if benchmark is not None else None,
+                    "input_token": input_token,
                 },
                 sort_keys=True,
             )

@@ -380,6 +380,11 @@ def remove_boilerplate_lines(
     if max_broadcast_lines is None:
         hot_rel = F.broadcast(hot)
     else:
+        # persist so the probe count and the anti-join build share ONE
+        # line-frequency aggregation (unpersisted, the corpus would be
+        # aggregated twice); the hot set is small in the benign case and
+        # spills to disk in the pathological one
+        hot = hot.persist()
         n_probe = hot.limit(max_broadcast_lines + 1).count()
         hot_rel = F.broadcast(hot) if n_probe <= max_broadcast_lines else hot
     sentinel = F.array(F.lit(None).cast("string"))
@@ -389,7 +394,22 @@ def remove_boilerplate_lines(
         F.posexplode(F.concat(sentinel, F.col("_arr"))).alias("_pos", "_line"),
     )
     kept = lines.join(hot_rel, "_line", "left_anti")
+    # every physical input row contributes exactly one (null-line) sentinel;
+    # seeing more than one in a group means duplicate ids, whose lines
+    # would interleave into garbage text — fail loudly on EVERY output
+    # column (a consumer that prunes down to just text_clean must still
+    # hit the guard)
+    dup_msg = F.concat(
+        F.lit("remove_boilerplate_lines: duplicate id "),
+        F.col("_id").cast("string"),
+        F.lit(" in input (ids must be unique)"),
+    )
+
+    def guarded(col):
+        return F.when(F.col("_n_sent") == 1, col).otherwise(F.raise_error(dup_msg))
+
     return kept.groupBy("_id", "_n_lines").agg(
+        F.sum(F.col("_line").isNull().cast("int")).alias("_n_sent"),
         (F.count(F.lit(1)) - 1).cast("bigint").alias("_n_kept"),
         F.array_join(
             F.transform(
@@ -404,8 +424,8 @@ def remove_boilerplate_lines(
     ).select(
         F.col("_id").alias(id_col),
         F.col("_n_lines").alias("n_lines"),
-        (F.col("_n_lines") - F.col("_n_kept")).cast("bigint").alias("n_removed"),
-        "text_clean",
+        guarded(F.col("_n_lines") - F.col("_n_kept")).cast("bigint").alias("n_removed"),
+        guarded(F.col("text_clean")).alias("text_clean"),
     )
 
 

@@ -282,38 +282,43 @@ def _wav_decode(payload: bytes | None) -> dict:
       TRUNCATED — data chunk shorter than declared: frames reflect the
         bytes actually present.
     """
-    import struct
+    out, _off, _ba = _wav_decode_ex(payload)
+    return out
 
+
+def _wav_decode_ex(payload: bytes | None):
+    """:func:`_wav_decode` plus ``(data_off, block_align)`` so the feature
+    kernel reuses one RIFF walk (the PNG ``_full`` pattern)."""
     out = {
         "n_channels": 0, "sample_rate": 0, "bits_per_sample": 0,
         "n_frames": 0, "duration_s": 0.0, "sha256": "", "error": None,
     }
     if payload is None or len(payload) == 0:
         out["error"] = "EMPTY_INPUT"
-        return out
+        return out, None, 0
     out["sha256"] = hashlib.sha256(payload).hexdigest()
     if len(payload) < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
         out["error"] = "NOT_RIFF"
-        return out
+        return out, None, 0
     fmt, data_off, data_size = _riff_fmt_data(payload)
     if fmt is None:
         out["error"] = "NO_FMT"
-        return out
+        return out, None, 0
     audio_format, ch, rate, _byte_rate, block_align, bits = fmt
     out.update(n_channels=ch, sample_rate=rate, bits_per_sample=bits)
     if audio_format != 1:  # PCM only; compressed codecs stay a boundary
         out["error"] = "UNSUPPORTED_CODEC"
-        return out
+        return out, None, 0
     if data_off is None:
         out["error"] = "NO_DATA"
-        return out
+        return out, None, 0
     avail = min(data_size, len(payload) - data_off)
     frames = avail // block_align if block_align else 0
     out["n_frames"] = frames
     out["duration_s"] = round(frames / rate, 6) if rate else 0.0
     if avail < data_size:
         out["error"] = "TRUNCATED"
-    return out
+    return out, data_off, block_align
 
 
 def decode_audio(media: DataFrame) -> DataFrame:
@@ -363,19 +368,25 @@ def _wav_features(payload: bytes | None) -> dict:
       both cover COMPLETE frames only (a truncated trailing frame is
       ignored, matching ``_wav_decode``'s frame accounting).
 
-    Error rows carry the metadata kernel's taxonomy with zero stats."""
+    Error rows carry the metadata kernel's taxonomy with zero stats.
+    The stat spec is defined for canonical 8/16-bit PCM only; other bit
+    depths (24/32-bit) and non-canonical block alignment parse fine as
+    METADATA but get ``UNSUPPORTED_BITS`` here — interpreting them as
+    int16 pairs would emit silently wrong stats, and an E6 kernel never
+    raises from inside the batch."""
     import numpy as np
 
-    meta = _wav_decode(payload)
+    meta, data_off, block_align = _wav_decode_ex(payload)
     out = {
         "n_frames": meta["n_frames"], "peak_abs": 0, "sumsq": 0,
         "error": meta["error"],
     }
     if meta["error"] not in (None, "TRUNCATED") or meta["n_frames"] == 0:
         return out
-    _fmt, data_off, _size = _riff_fmt_data(payload)
     sampwidth = meta["bits_per_sample"] // 8
-    block_align = meta["n_channels"] * sampwidth
+    if sampwidth not in (1, 2) or block_align != meta["n_channels"] * sampwidth:
+        out["error"] = "UNSUPPORTED_BITS"
+        return out
     data = payload[data_off : data_off + meta["n_frames"] * block_align]
     if sampwidth == 1:
         centered = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128

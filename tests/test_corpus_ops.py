@@ -388,7 +388,11 @@ def test_remove_boilerplate_plan_single_corpus_shuffle(spark):
     )
     out = remove_boilerplate_lines(df, min_doc_freq=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 2
+    # exactly ONE corpus-side exchange (the per-doc reassembly); further
+    # hashpartitioning prints belong to the tiny persisted hot-line
+    # relation, whose cached build plan prints under InMemoryRelation but
+    # executes once (see CLAUDE.md)
+    assert plan.count("Exchange hashpartitioning(_id") == 1
     # the only join is the left-anti hot-line probe
     assert plan.count("Join") == plan.count("LeftAnti")
     # all-hot docs still come back (the sentinel row carries them)
@@ -458,3 +462,44 @@ def test_pii_cross_engine_adversarial_corpus(spark):
     got = got[sorted(got.columns)]
     want = want[sorted(want.columns)]
     assert got.equals(want), got.compare(want)
+
+
+def test_remove_boilerplate_duplicate_ids_fail_loudly(spark):
+    """Duplicate ids would interleave two docs' lines into garbage text;
+    the sentinel count detects it and raises on any output column."""
+    import pytest as _pytest
+
+    from ocr_spark.operators.corpus_ops import remove_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [(7, "a\nb"), (7, "c\nd"), (8, "x")], "doc_id long, text string"
+    )
+    out = remove_boilerplate_lines(df, min_doc_freq=9)
+    with _pytest.raises(Exception, match="duplicate id 7"):
+        out.select("doc_id", "text_clean").collect()
+
+
+def test_corpus_filter_input_token_guards_signature_reuse(spark, tmp_path):
+    """A caller that pre-transforms the text (dedup_job's line-cleanup
+    flags) must not reuse signatures hashed over the untransformed text:
+    the transform keeps row counts identical, so only the input_token in
+    the fingerprint can catch it."""
+    import pytest as _pytest
+
+    from ocr_spark.operators.corpus_filter import corpus_filter
+    from ocr_spark.sources.icelite import IceliteTable
+
+    rows = [(i, f"document body number {i} with several words") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tbl = IceliteTable(str(tmp_path / "sigs"), key_col="doc_id", n_buckets=4)
+    kept, _ = corpus_filter(
+        df, rules={"min_chars": 5}, near_dedup=True, signatures_table=tbl
+    )
+    kept.count()  # materializes the signature table
+    # same input/config but a different pre-processing token -> refuse
+    with _pytest.raises(ValueError):
+        kept2, _ = corpus_filter(
+            df, rules={"min_chars": 5}, near_dedup=True,
+            signatures_table=tbl, input_token="redact_pii",
+        )
+        kept2.count()

@@ -1193,3 +1193,28 @@ def test_nn_resize_spec_handpicked():
     got = _nn_resize(g, 3, 3, 1, t=2)
     assert got == bytes([0, 1, 3, 4])
     assert got == _nn_resize_py(g, 3, 3, 1, t=2)
+
+
+def test_wav_features_unsupported_bit_depths():
+    """24/32-bit PCM parses fine as METADATA but the stat spec covers
+    canonical 8/16-bit only: the feature kernel must flag UNSUPPORTED_BITS
+    with zero stats instead of raising (24-bit odd buffers would crash
+    numpy) or emitting garbage (32-bit read as int16 pairs)."""
+    import io
+    import wave
+
+    from ocr_spark.operators.multimodal import _wav_decode, _wav_features
+
+    for width in (3, 4):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(width)
+            w.setframerate(8000)
+            w.writeframes(b"\x01" * (width * 5))
+        payload = buf.getvalue()
+        assert _wav_decode(payload)["error"] is None  # metadata path fine
+        got = _wav_features(payload)
+        assert got["error"] == "UNSUPPORTED_BITS", width
+        assert (got["peak_abs"], got["sumsq"]) == (0, 0)
+        assert got["n_frames"] == 5
