@@ -283,7 +283,15 @@ def tokenize_blocks(html: str) -> list[Block]:
 
 
 def classify_main(blocks: list[Block]) -> list[bool]:
-    """Frozen rules C1+C2."""
+    """Frozen rules C1+C2.
+
+    C2's fixpoint ("fusable blocks adjacent to main become main, repeat")
+    is a flood fill through CONTIGUOUS fusable runs — main can only
+    spread via fusable blocks, so one forward and one backward sweep
+    reach the fixpoint in O(n).  The naive while-changed loop is O(n ×
+    longest run): a pathological 10k-block page costs 10^8 comparisons —
+    a per-document straggler at crawl scale.  Equivalence to the fixpoint
+    loop is property-tested (tests/test_kernels.py)."""
     # one link-density computation per block (shared by C1 and the C2 gate)
     low_ld = [
         (b.anchor_chars / b.raw_chars if b.raw_chars else 0.0) < MAIN_LINK_DENSITY_MAX
@@ -291,15 +299,13 @@ def classify_main(blocks: list[Block]) -> list[bool]:
     ]
     is_main = [ld and b.n_words >= MAIN_MIN_WORDS for ld, b in zip(low_ld, blocks)]
     fusable = [ld and b.n_words >= FUSE_MIN_WORDS for ld, b in zip(low_ld, blocks)]
-    changed = True
-    while changed:
-        changed = False
-        for i, b in enumerate(blocks):
-            if is_main[i] or not fusable[i]:
-                continue
-            if (i > 0 and is_main[i - 1]) or (i + 1 < len(blocks) and is_main[i + 1]):
-                is_main[i] = True
-                changed = True
+    n = len(blocks)
+    for i in range(1, n):
+        if fusable[i] and not is_main[i] and is_main[i - 1]:
+            is_main[i] = True
+    for i in range(n - 2, -1, -1):
+        if fusable[i] and not is_main[i] and is_main[i + 1]:
+            is_main[i] = True
     return is_main
 
 

@@ -317,3 +317,58 @@ def test_simhash_batch_matches_per_doc(texts):
     sb = K.simhash_batch(texts)
     for i, t in enumerate(texts):
         assert int(sb[i]) == K.simhash64(t)
+
+
+def test_classify_main_two_sweeps_equal_fixpoint_loop():
+    """The O(n) forward+backward flood fill must equal the C2 while-changed
+    fixpoint on every fusable/main configuration (hypothesis sweep +
+    handpicked runs touching main on the left, right, both, neither)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_spark.functions.html_extract import (
+        FUSE_MIN_WORDS,
+        MAIN_MIN_WORDS,
+        Block,
+        classify_main,
+    )
+
+    def fixpoint_reference(blocks):
+        low_ld = [
+            (b.anchor_chars / b.raw_chars if b.raw_chars else 0.0) < 0.33
+            for b in blocks
+        ]
+        is_main = [ld and b.n_words >= MAIN_MIN_WORDS for ld, b in zip(low_ld, blocks)]
+        fusable = [ld and b.n_words >= FUSE_MIN_WORDS for ld, b in zip(low_ld, blocks)]
+        changed = True
+        while changed:
+            changed = False
+            for i in range(len(blocks)):
+                if is_main[i] or not fusable[i]:
+                    continue
+                if (i > 0 and is_main[i - 1]) or (
+                    i + 1 < len(blocks) and is_main[i + 1]
+                ):
+                    is_main[i] = True
+                    changed = True
+        return is_main
+
+    # kind: 0 = main (many words), 1 = fusable-only, 2 = neither
+    words_for = {0: MAIN_MIN_WORDS, 1: FUSE_MIN_WORDS, 2: max(FUSE_MIN_WORDS - 1, 0)}
+
+    def mk(kinds):
+        return [
+            Block("w " * words_for[k], words_for[k], 0, max(words_for[k] * 2, 1), 0)
+            for k in kinds
+        ]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=2), max_size=24))
+    def sweep(kinds):
+        blocks = mk(kinds)
+        assert classify_main(blocks) == fixpoint_reference(blocks)
+
+    sweep()
+    for kinds in ([0, 1, 1, 1], [1, 1, 1, 0], [0, 1, 2, 1, 0], [1, 1], [0], []):
+        blocks = mk(kinds)
+        assert classify_main(blocks) == fixpoint_reference(blocks)
