@@ -156,8 +156,15 @@ class _BlockTokenizer(HTMLParser):
 
 
 def tokenize_blocks_stdlib(html: str) -> list[Block]:
-    """Reference tokenizer via html.parser.HTMLParser (kept for differential
-    testing against the fast path — both must emit identical blocks)."""
+    """Reference tokenizer via html.parser.HTMLParser — must emit identical
+    blocks to the fast path on WELL-FORMED markup (the fixture distribution;
+    differential-tested in tests/test_kernels.py).  On malformed tag soup the
+    two deliberately diverge: html.parser re-emits unterminated comments /
+    CDATA / junk-named tags as *data* with CPython-version-specific event
+    chunking, while the frozen grammar (see _TOKEN_SPLIT_RE) drops
+    declaration-like junk to the next '>' — HTML5's bogus-comment rule, and
+    the better behavior for boilerplate removal.  The full-soup differential
+    reference is :func:`tokenize_blocks_reference`."""
     p = _BlockTokenizer()
     p.feed(html)
     p.close()
@@ -173,7 +180,10 @@ def tokenize_blocks_stdlib(html: str) -> list[Block]:
 # match captures (closing-slash, name, self-closing-slash) — the attrs
 # span is deliberately NON-capturing: it is never read, and capturing it
 # would materialize one substring per tag.  Quoted attribute values may
-# contain '>'.  split-then-scan beats a finditer loop ~1.25x: the flat
+# contain '>'.  A '/' inside the attrs span is consumed only when NOT
+# followed by '>' ('/(?!>)'), so the self-closing slash always lands in
+# the (/?) capture — a plain [^>"']* would greedily eat it and misread
+# <br/> as an opening tag.  split-then-scan beats a finditer loop ~1.25x: the flat
 # parts list replaces one Match object + .span() + .group() call per tag
 # with plain list indexing (C-level), and the text chunks arrive already
 # sliced.
@@ -181,7 +191,7 @@ _TOKEN_SPLIT_RE = re.compile(
     r"<!--.*?-->"
     r"|<!\[CDATA\[.*?\]\]>"
     r"|<[!?][^>]*>"
-    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)(?:(?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>",
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)(?:(?:\"[^\"]*\"|'[^']*'|[^>\"'/]+|/(?!>))*)(/?)>",
     re.DOTALL,
 )
 
@@ -279,6 +289,163 @@ def tokenize_blocks(html: str) -> list[Block]:
                     depth,
                 )
             )
+    return blocks
+
+
+# ---------------------------------------------------------------------------
+# grammar reference (character scanner) — an independent, regex-free
+# implementation of the frozen tokenizer grammar, used ONLY for differential
+# testing of tokenize_blocks on arbitrary tag soup (tests/test_kernels.py).
+# The grammar, in alternation order (first match at each '<' wins; a '<'
+# matching nothing is literal text):
+#   1. '<!--' ... '-->'        terminated comment, dropped (shortest match)
+#   2. '<![CDATA[' ... ']]>'   terminated CDATA, dropped (shortest match)
+#   3. '<' [!?] [^>]* '>'      declaration / PI / bogus comment, dropped to
+#                              the FIRST '>' (HTML5 bogus-comment rule; also
+#                              the fallback for unterminated 1 and 2)
+#   4. '<' /? name attrs /? '>'  tag; name = [a-zA-Z][a-zA-Z0-9-]*, attrs =
+#                              ("..." | '...' | plain | '/' not before '>')*
+#                              — quoted values may span '>' and newlines; an
+#                              unclosed quote or missing final '>' makes the
+#                              whole candidate literal text.
+# ---------------------------------------------------------------------------
+
+
+def _scan_tag(html: str, lt: int, n: int):
+    """Try grammar alternative 4 at position lt ('<'). Returns
+    (end, slash, name, selfc) or None."""
+    i = lt + 1
+    slash = ""
+    if i < n and html[i] == "/":
+        slash = "/"
+        i += 1
+    if i >= n:
+        return None
+    c = html[i]
+    if not ("a" <= c <= "z" or "A" <= c <= "Z"):  # ASCII-only, not str.isalpha
+        return None
+    j = i + 1
+    while j < n:
+        c = html[j]
+        if "a" <= c <= "z" or "A" <= c <= "Z" or "0" <= c <= "9" or c == "-":
+            j += 1
+        else:
+            break
+    name = html[i:j]
+    i = j
+    while i < n:
+        c = html[i]
+        if c == '"' or c == "'":
+            j = html.find(c, i + 1)
+            if j < 0:
+                return None  # unclosed quote: candidate fails, '<' is text
+            i = j + 1
+        elif c == ">":
+            return (i + 1, slash, name, "")
+        elif c == "/":
+            if i + 1 < n and html[i + 1] == ">":
+                return (i + 2, slash, name, "/")
+            i += 1  # '/' not before '>' is a plain attr char
+        else:
+            i += 1
+    return None  # ran off the end without '>'
+
+
+def tokenize_blocks_reference(html: str) -> list[Block]:
+    """Regex-free scanner implementing the same frozen grammar and block
+    rules as :func:`tokenize_blocks` — must emit identical blocks on ANY
+    input, including adversarial tag soup (hypothesis-tested)."""
+    blocks: list[Block] = []
+    buf: list[str] = []
+    anchor_chars = 0
+    anchor_depth = 0
+    ignore_depth = 0
+    depth = 0
+
+    def emit_text(chunk: str) -> None:
+        nonlocal anchor_chars
+        if not chunk or ignore_depth:
+            return
+        if "&" in chunk:
+            chunk = _unescape(chunk)
+        buf.append(chunk)
+        if anchor_depth:
+            anchor_chars += len(chunk.strip()) or len(chunk)
+
+    def flush() -> None:
+        nonlocal anchor_chars
+        if buf:
+            raw = "".join(buf)
+            buf.clear()
+            a = anchor_chars
+            anchor_chars = 0
+            words = raw.split()
+            if words:
+                blocks.append(
+                    Block(" ".join(words), len(words), a,
+                          len(raw.strip()) or len(raw), depth)
+                )
+        else:
+            anchor_chars = 0
+
+    n = len(html)
+    i = 0  # scan cursor
+    text_start = 0  # start of the pending literal-text span
+    while i < n:
+        lt = html.find("<", i)
+        if lt < 0:
+            break
+        tok = None
+        end = -1
+        if html.startswith("<!--", lt):
+            p = html.find("-->", lt + 4)
+            if p >= 0:
+                end = p + 3  # alternative 1
+        if end < 0 and html.startswith("<![CDATA[", lt):
+            p = html.find("]]>", lt + 9)
+            if p >= 0:
+                end = p + 3  # alternative 2
+        if end < 0 and lt + 1 < n and html[lt + 1] in "!?":
+            p = html.find(">", lt + 2)
+            if p >= 0:
+                end = p + 1  # alternative 3
+        if end < 0:
+            tok = _scan_tag(html, lt, n)
+            if tok is not None:
+                end = tok[0]
+        if end < 0:
+            i = lt + 1  # no alternative matched: '<' is literal text
+            continue
+        emit_text(html[text_start:lt])
+        i = text_start = end
+        if tok is None:
+            continue  # comment / CDATA / declaration: dropped
+        _, slash, name, selfc = tok
+        name = name.lower()
+        if name in IGNORE_TAGS:
+            if slash == "/":
+                if ignore_depth:
+                    ignore_depth -= 1
+            elif selfc != "/":
+                ignore_depth += 1
+            continue
+        if ignore_depth:
+            continue
+        if name in BLOCK_TAGS:
+            flush()
+        if selfc == "/":
+            continue
+        if slash == "/":
+            if name == "a" and anchor_depth:
+                anchor_depth -= 1
+            if depth:
+                depth -= 1
+        else:
+            if name == "a":
+                anchor_depth += 1
+            depth += 1
+    emit_text(html[text_start:])
+    flush()
     return blocks
 
 

@@ -372,3 +372,61 @@ def test_classify_main_two_sweeps_equal_fixpoint_loop():
     for kinds in ([0, 1, 1, 1], [1, 1, 1, 0], [0, 1, 2, 1, 0], [1, 1], [0], []):
         blocks = mk(kinds)
         assert classify_main(blocks) == fixpoint_reference(blocks)
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            list("<>/!-abp d&;\"'=[]CDATA?\n\tq…é") + ["&amp;", "<p>", "</p>",
+             "<a href='x'>", "</a>", "<div>", "<!--", "-->", "<![CDATA[",
+             "]]>", "<script>", "</script>", "<br/>", "<P >", "<a b=\">\">"]
+        ),
+        max_size=40,
+    )
+)
+def test_split_tokenizer_matches_scanner_reference_on_adversarial_html(fragments):
+    """The bulk re.split scanner must equal the regex-free character-scanner
+    reference (same frozen grammar, independent implementation) on adversarial
+    tag soup: stray '<', unterminated comments / CDATA, quoted '>' in
+    attributes, self-closing and ignored tags, entity fragments, mixed case.
+    (html.parser is NOT the weeds reference — its EOF/bogus-comment recovery
+    re-emits junk markup as data with CPython-specific chunking; the frozen
+    grammar drops it, per the HTML5 bogus-comment rule.  The stdlib
+    differential below covers the well-formed distribution instead.)"""
+    from ocr_spark.functions.html_extract import (
+        tokenize_blocks,
+        tokenize_blocks_reference,
+    )
+
+    html = "".join(fragments)
+    assert tokenize_blocks(html) == tokenize_blocks_reference(html)
+
+
+def test_split_tokenizer_matches_stdlib_on_generated_pages():
+    """On the realistic (well-formed) fixture distribution the regex grammar
+    and html.parser agree block-for-block — pins the production tokenizer to
+    an entirely independent parser on the data the engine actually serves."""
+    import random
+
+    from ocr_spark.fixtures.generator import _host_pool, gen_pages_doc
+    from ocr_spark.functions.html_extract import (
+        tokenize_blocks,
+        tokenize_blocks_reference,
+        tokenize_blocks_stdlib,
+    )
+
+    rng = random.Random(0xD1FF)
+    hosts = _host_pool(rng)
+    checked = 0
+    for i in range(200):
+        doc = gen_pages_doc(rng, i, hosts)
+        html = doc["html"]
+        if html is None:
+            continue
+        decoded = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
+        fast = tokenize_blocks(decoded)
+        assert fast == tokenize_blocks_stdlib(decoded)
+        assert fast == tokenize_blocks_reference(decoded)
+        checked += 1
+    assert checked >= 150
