@@ -483,6 +483,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce(F.col("meta.error"), F.lit("")).alias("error"),
         )
 
+    def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """REAL video frame sampling: the kernel parses the MP4 sample
+        tables (stts/stsc/stsz/stco) and slices + hashes every 5th frame's
+        bytes out of mdat; the golden carries pts/offsets/shas the
+        generator derived from its layout ARITHMETIC while writing the
+        boxes — independent code paths, so a match proves a correct
+        sample-table walk end-to-end."""
+        from ocr_spark.fixtures.generator import FRAME_SAMPLE_EVERY_N
+        from ocr_spark.operators.multimodal import sample_frames
+
+        media = spark.read.parquet(f"{fix}/video.parquet")
+        m = sample_frames(media, every_n=FRAME_SAMPLE_EVERY_N)
+        return m.select(
+            "media_id",
+            "frame_idx",
+            "pts_units",
+            "pts_s",
+            "byte_offset",
+            "n_bytes",
+            "frame_sha256",
+            F.coalesce(F.col("error"), F.lit("")).alias("error"),
+        )
+
     def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Real image modality: stdlib PNG decode (IHDR geometry, IDAT
         zlib inflate, the five row unfilters, sha256 of the reconstructed
@@ -766,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "image_resize": q_image_resize,
         "video_meta": q_video_meta,
+        "frame_sample": q_frame_sample,
         "image_meta": q_image_meta,
         "sample_deterministic": q_sample_deterministic,
         "decontaminate": q_decontaminate,
@@ -1178,6 +1202,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, major_brand, timescale, duration_units,
                    duration_s, sha256, coalesce(error, '') AS error
             FROM '{fix}/golden_video.parquet'
+        """,
+        # frames: the golden's pts/byte-ranges/shas come from the
+        # generator's chunk-layout arithmetic, never from parsing — the
+        # kernel must really walk stts/stsc/stsz/stco to match
+        "frame_sample": f"""
+            SELECT media_id, frame_idx, pts_units, pts_s, byte_offset,
+                   n_bytes, frame_sha256, coalesce(error, '') AS error
+            FROM '{fix}/golden_frames.parquet'
         """,
         # image: the golden carries parameter-derived geometry plus a
         # sha256 of the RAW PIXELS the generator forward-filtered into the

@@ -62,7 +62,7 @@ def join_blocks(blocks: list[str]) -> tuple[str, list[tuple[str, int, int]]]:
     return "\n".join(normed), spans
 
 SEED = 42
-FORMAT_VERSION = 25  # bump to force regeneration everywhere (v25: audio pcm-feature + image nn-resize goldens)
+FORMAT_VERSION = 26  # bump to force regeneration everywhere (v26: real MP4 sample tables + frame-sample goldens)
 
 # bench is sized so the extraction stage runs for seconds, not hundreds of
 # milliseconds, at local[32] — otherwise the ~0.3 s fixed job floor (task
@@ -624,7 +624,7 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
     if cfg.get("audio"):
         expected += ["audio.parquet", "golden_audio.parquet"]
     if cfg.get("video"):
-        expected += ["video.parquet", "golden_video.parquet"]
+        expected += ["video.parquet", "golden_video.parquet", "golden_frames.parquet"]
     if cfg.get("image"):
         expected += ["image.parquet", "golden_image.parquet"]
     if cfg.get("corpus"):
@@ -907,11 +907,12 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
     # ---- video (ISO-BMFF binary column + parameter-derived golden) ------
     if cfg.get("video"):
         rng = random.Random(f"{seed}-video-{tier}")
-        payloads, goldens = [], []
+        payloads, goldens, frame_rows = [], [], []
         for mid in range(cfg["video"]):
-            p, g = gen_video_doc(rng, mid)
+            p, g, fr = gen_video_doc(rng, mid)
             payloads.append(p)
             goldens.append(g)
+            frame_rows.extend(fr)
         _write(
             os.path.join(out_dir, "video.parquet"),
             pa.table(
@@ -936,6 +937,23 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
                     "duration_s": pa.array([g["duration_s"] for g in goldens], pa.float64()),
                     "sha256": [g["sha256"] for g in goldens],
                     "error": [g["error"] for g in goldens],
+                }
+            ),
+        )
+        _write(
+            os.path.join(out_dir, "golden_frames.parquet"),
+            pa.table(
+                {
+                    "media_id": pa.array([r["media_id"] for r in frame_rows], pa.int64()),
+                    "frame_idx": pa.array([r["frame_idx"] for r in frame_rows], pa.int64()),
+                    "pts_units": pa.array([r["pts_units"] for r in frame_rows], pa.int64()),
+                    "pts_s": pa.array([r["pts_s"] for r in frame_rows], pa.float64()),
+                    "byte_offset": pa.array(
+                        [r["byte_offset"] for r in frame_rows], pa.int64()
+                    ),
+                    "n_bytes": pa.array([r["n_bytes"] for r in frame_rows], pa.int64()),
+                    "frame_sha256": [r["frame_sha256"] for r in frame_rows],
+                    "error": [r["error"] for r in frame_rows],
                 }
             ),
         )
@@ -1146,10 +1164,67 @@ def _mvhd(version: int, timescale: int, duration: int) -> bytes:
     return _box(b"mvhd", body)
 
 
-def gen_video_doc(rng: random.Random, media_id: int) -> tuple[bytes | None, dict]:
-    """Returns (payload, golden-metadata dict): ~70% well-formed minimal
-    MP4s (ftyp + moov/mvhd + mdat, mvhd v0 or v1); the rest exercise the
-    error taxonomy."""
+FRAME_SAMPLE_EVERY_N = 5  # frozen sampling stride shared by the frame golden
+# and the driver's `frame_sample` query — change both together.
+
+
+def _video_track(
+    timescale: int,
+    stts_runs: list[tuple[int, int]],
+    stsc_entries: list[tuple[int, int]],
+    sizes: list[int],
+    chunk_offsets: list[int],
+    stsz_extra: int = 0,
+    drop_stco: bool = False,
+) -> bytes:
+    """A moov/trak subtree carrying a REAL sample table
+    (mdia/{mdhd,hdlr,minf/stbl/{stsd,stts,stsc,stsz,stco}}).  stts_runs =
+    [(sample_count, delta_units)], stsc_entries = [(first_chunk,
+    samples_per_chunk)] (1-based, desc id fixed at 1), chunk_offsets =
+    absolute FILE offsets (mdat must already be laid out).  stsz_extra
+    writes that many bogus extra size entries (count-mismatch fault
+    injection); drop_stco omits the chunk-offset box entirely."""
+    import struct
+
+    duration = sum(c * d for c, d in stts_runs)
+    mdhd = _box(b"mdhd", struct.pack(">BxxxIIIIHH", 0, 0, 0, timescale, duration, 0x55C4, 0))
+    hdlr = _box(b"hdlr", b"\0" * 8 + b"vide" + b"\0" * 12 + b"\0")
+    stsd = _box(b"stsd", struct.pack(">BxxxI", 0, 1) + _box(b"mp4v", b"\0" * 8))
+    stts = _box(
+        b"stts",
+        struct.pack(">BxxxI", 0, len(stts_runs))
+        + b"".join(struct.pack(">II", c, d) for c, d in stts_runs),
+    )
+    stsc = _box(
+        b"stsc",
+        struct.pack(">BxxxI", 0, len(stsc_entries))
+        + b"".join(struct.pack(">III", fc, spc, 1) for fc, spc in stsc_entries),
+    )
+    stsz = _box(
+        b"stsz",
+        struct.pack(">BxxxII", 0, 0, len(sizes) + stsz_extra)
+        + b"".join(struct.pack(">I", s) for s in sizes)
+        + struct.pack(">I", 16) * stsz_extra,
+    )
+    stco = _box(
+        b"stco",
+        struct.pack(">BxxxI", 0, len(chunk_offsets))
+        + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + (b"" if drop_stco else stco))
+    return _box(b"trak", _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl)))
+
+
+def gen_video_doc(
+    rng: random.Random, media_id: int
+) -> tuple[bytes | None, dict, list[dict]]:
+    """Returns (payload, golden-metadata dict, golden-frame rows): ~62%
+    well-formed MP4s (ftyp + mdat + moov/{mvhd,trak}) whose trak carries a
+    REAL sample table over real frame bytes in mdat; the rest exercise the
+    container and sample-table error taxonomies.  Frame goldens (pts from
+    the stts runs, byte offsets from the chunk layout, sha256 of the frame
+    bytes) derive from layout ARITHMETIC the generator performed — never
+    from parsing the payload back."""
     import hashlib
 
     def zeros(err: str, sha: str = "") -> dict:
@@ -1158,39 +1233,81 @@ def gen_video_doc(rng: random.Random, media_id: int) -> tuple[bytes | None, dict
             "duration_units": 0, "duration_s": 0.0, "sha256": sha, "error": err,
         }
 
+    def noframes(err: str) -> list[dict]:
+        return [{
+            "media_id": media_id, "frame_idx": -1, "pts_units": 0,
+            "pts_s": 0.0, "byte_offset": -1, "n_bytes": -1,
+            "frame_sha256": "", "error": err,
+        }]
+
     roll = rng.random()
     if roll < 0.06:
-        return (None if roll < 0.03 else b""), zeros("EMPTY_INPUT")
+        return (None if roll < 0.03 else b""), zeros("EMPTY_INPUT"), noframes("EMPTY_INPUT")
     if roll < 0.12:
         junk = b"XXXX" + bytes(rng.getrandbits(8) for _ in range(rng.randint(8, 64)))
-        return junk, zeros("NOT_MP4", hashlib.sha256(junk).hexdigest())
+        sha = hashlib.sha256(junk).hexdigest()
+        return junk, zeros("NOT_MP4", sha), noframes("NOT_MP4")
 
     timescale = rng.choice((600, 1000, 90000))
     duration = rng.randint(1, 10 * timescale)  # up to ~10 s
     version = rng.choice((0, 1))
     ftyp = _box(b"ftyp", b"isom" + b"\0\0\0\1" + b"mp42")
-    mdat = _box(b"mdat", bytes(rng.getrandbits(8) for _ in range(rng.randint(16, 256))))
     free = _box(b"free", b"\0" * rng.randint(0, 16))  # skipped boxes exist
     # past this point ftyp parses, so the brand is reported even when a
     # LATER stage fails (the parser keeps everything it validly read)
     if roll < 0.18:  # moov entirely absent
+        mdat = _box(b"mdat", bytes(rng.getrandbits(8) for _ in range(rng.randint(16, 256))))
         payload = ftyp + free + mdat
         z = zeros("NO_MOOV")
         z.update(major_brand="isom", sha256=hashlib.sha256(payload).hexdigest())
-        return payload, z
-    if roll < 0.24:  # moov present but carries no mvhd
+        return payload, z, noframes("NO_MOOV")
+    if roll < 0.24:  # moov present but carries neither mvhd nor trak
+        mdat = _box(b"mdat", bytes(rng.getrandbits(8) for _ in range(rng.randint(16, 256))))
         payload = ftyp + _box(b"moov", _box(b"udta", b"\0" * 8)) + mdat
         z = zeros("NO_MVHD")
         z.update(major_brand="isom", sha256=hashlib.sha256(payload).hexdigest())
-        return payload, z
-    moov = _box(b"moov", _mvhd(version, timescale, duration) + _box(b"udta", b"\0" * 4))
-    payload = ftyp + free + moov + mdat
+        return payload, z, noframes("NO_TRAK")
+
+    # real frame data: sizes, bytes, two stts duration runs, m chunks of c1
+    # frames plus one tail chunk (stsc cannot express a short last run)
+    media_ts = rng.choice((600, 1000, 12288, 30000))
+    n = rng.randint(6, 48)
+    sizes = [rng.randint(8, 64) for _ in range(n)]
+    frames = [bytes(rng.getrandbits(8) for _ in range(s)) for s in sizes]
+    k = rng.randint(1, n - 1)
+    d1, d2 = rng.randint(20, 4000), rng.randint(20, 4000)
+    stts_runs = [(k, d1), (n - k, d2)]
+    c1 = rng.randint(1, 4)
+    m = rng.randint(1, max(1, (n - 1) // c1))
+    tail = n - m * c1  # >= 1 by construction of m
+    stsc_entries = [(1, c1), (m + 1, tail)]
+    chunk_frame_counts = [c1] * m + [tail]
+    mdat = _box(b"mdat", b"".join(frames))
+    base = len(ftyp) + len(free) + 8  # mdat BODY file offset (mdat precedes moov)
+    chunk_offsets, offsets = [], []
+    pos, fi = base, 0
+    for cfc in chunk_frame_counts:
+        chunk_offsets.append(pos)
+        for _ in range(cfc):
+            offsets.append(pos)
+            pos += sizes[fi]
+            fi += 1
+    drop_stco = 0.30 <= roll < 0.34
+    stsz_extra = 2 if 0.34 <= roll < 0.38 else 0
+    trak = _video_track(
+        media_ts, stts_runs, stsc_entries, sizes, chunk_offsets,
+        stsz_extra=stsz_extra, drop_stco=drop_stco,
+    )
+    moov = _box(b"moov", _mvhd(version, timescale, duration) + trak + _box(b"udta", b"\0" * 4))
+    payload = ftyp + free + mdat + moov
     if roll < 0.3:  # cut inside the mvhd fields
-        payload = payload[: len(ftyp) + len(free) + 8 + 16]
+        payload = payload[: len(ftyp) + len(free) + len(mdat) + 8 + 16]
         z = zeros("TRUNCATED")
         z.update(major_brand="isom", sha256=hashlib.sha256(payload).hexdigest())
-        return payload, z
-    return payload, {
+        # the truncated moov yields a clamped partial mvhd and nothing else,
+        # so the frame-table walk reports the missing trak
+        return payload, z, noframes("NO_TRAK")
+    meta = {
         "media_id": media_id,
         "major_brand": "isom",
         "timescale": timescale,
@@ -1199,6 +1316,24 @@ def gen_video_doc(rng: random.Random, media_id: int) -> tuple[bytes | None, dict
         "sha256": hashlib.sha256(payload).hexdigest(),
         "error": None,
     }
+    if drop_stco:
+        return payload, meta, noframes("NO_SAMPLE_TABLE")
+    if stsz_extra:
+        return payload, meta, noframes("BAD_SAMPLE_TABLE")
+    frame_rows = []
+    for idx in range(0, n, FRAME_SAMPLE_EVERY_N):
+        pts = idx * d1 if idx < k else k * d1 + (idx - k) * d2
+        frame_rows.append({
+            "media_id": media_id,
+            "frame_idx": idx,
+            "pts_units": pts,
+            "pts_s": round(pts / media_ts, 6),
+            "byte_offset": offsets[idx],
+            "n_bytes": sizes[idx],
+            "frame_sha256": hashlib.sha256(frames[idx]).hexdigest(),
+            "error": None,
+        })
+    return payload, meta, frame_rows
 
 
 # ---------------------------------------------------------------------------

@@ -581,8 +581,8 @@ def _mp4_decode(payload: bytes | None) -> dict:
 
 def decode_videos(media: DataFrame) -> DataFrame:
     """video rows -> container metadata via mapInPandas (real ISO-BMFF
-    walk; frame decode remains the codec boundary exercised by
-    ``frame_sample_plan``)."""
+    walk; per-frame sampling is ``sample_frames``, which parses the sample
+    tables for real)."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -602,18 +602,210 @@ def decode_videos(media: DataFrame) -> DataFrame:
     return media.filter(F.col("kind") == "video").mapInPandas(fn, out_schema)
 
 
-def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame-sampling *plan*: explodes frame indexes JVM-side from
-    size-derived frame-count metadata; per-frame pixel decode is the one
-    remaining codec boundary (video bitstreams need a real codec library,
-    unlike the container metadata which ``decode_videos`` parses for
-    real)."""
-    return (
-        media.filter(F.col("kind") == "video")
-        .withColumn("n_frames", (F.length("payload") / 1024).cast("int"))
-        .withColumn(
-            "frame_idx",
-            F.explode(F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))),
+def _mp4_sample_table(payload: bytes | None):
+    """Parse the first video track's sample table for REAL —
+    trak/mdia/{mdhd,hdlr,minf/stbl/{stts,stsc,stsz,stco}} — and return
+    ``(timescale, pts_units, offsets, sizes, error)`` where the three
+    arrays are numpy int64 per-sample vectors (pts from the stts runs,
+    absolute file offsets from the chunk layout).  Vectorized on purpose:
+    a 2 h movie carries ~200k samples and this runs per row inside a
+    batch UDF, so the expansion is ``np.repeat``/``cumsum``, not a Python
+    loop.  Never raises; error taxonomy: EMPTY_INPUT / NOT_MP4 / NO_MOOV /
+    NO_TRAK (moov carries no trak box) / NO_SAMPLE_TABLE (no vide track
+    with a complete mdhd+stbl) / BAD_SAMPLE_TABLE (tables present but
+    inconsistent: count mismatches, non-monotonic stsc, zero timescale,
+    or frame ranges outside the payload)."""
+    import struct
+
+    import numpy as np
+
+    none = (0, None, None, None)
+    if payload is None or len(payload) == 0:
+        return (*none, "EMPTY_INPUT")
+    top = list(_mp4_boxes(payload, 0, len(payload)))
+    if not top or top[0][0] != b"ftyp":
+        return (*none, "NOT_MP4")
+    moov = next(((s, e) for t, s, e in top if t == b"moov"), None)
+    if moov is None:
+        return (*none, "NO_MOOV")
+    traks = [(s, e) for t, s, e in _mp4_boxes(payload, moov[0], moov[1]) if t == b"trak"]
+    if not traks:
+        return (*none, "NO_TRAK")
+
+    def u32s(s: int, e: int, skip: int, count: int):
+        """count big-endian u32 words at body offset `skip`, or None if
+        the box is too short."""
+        if e - (s + skip) < 4 * count:
+            return None
+        return np.frombuffer(payload, dtype=">u4", offset=s + skip, count=count)
+
+    for ts_, te in traks:
+        mdia = next(
+            ((s, e) for t, s, e in _mp4_boxes(payload, ts_, te) if t == b"mdia"), None
         )
+        if mdia is None:
+            continue
+        sub = {}
+        for t, s, e in _mp4_boxes(payload, mdia[0], mdia[1]):
+            sub.setdefault(t, (s, e))
+        hdlr = sub.get(b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        mdhd, minf = sub.get(b"mdhd"), sub.get(b"minf")
+        if mdhd is None or minf is None:
+            continue
+        s, e = mdhd
+        if e - s < 4 or payload[s] > 1:
+            continue
+        if payload[s]:  # mdhd v1: 64-bit times, timescale at +20
+            if e - s < 24:
+                continue
+            (timescale,) = struct.unpack_from(">I", payload, s + 20)
+        else:
+            if e - s < 16:
+                continue
+            (timescale,) = struct.unpack_from(">I", payload, s + 12)
+        stbl = next(
+            ((s2, e2) for t, s2, e2 in _mp4_boxes(payload, minf[0], minf[1]) if t == b"stbl"),
+            None,
+        )
+        if stbl is None:
+            continue
+        tables = {}
+        for t, s2, e2 in _mp4_boxes(payload, stbl[0], stbl[1]):
+            tables.setdefault(t, (s2, e2))
+        if not all(t in tables for t in (b"stts", b"stsc", b"stsz", b"stco")):
+            return (*none, "NO_SAMPLE_TABLE")
+        bad = (*none, "BAD_SAMPLE_TABLE")
+        if timescale == 0:
+            return bad
+        # stts: runs of (count, delta) -> per-sample pts
+        s2, e2 = tables[b"stts"]
+        head = u32s(s2, e2, 4, 1)
+        if head is None:
+            return bad
+        runs = u32s(s2, e2, 8, int(head[0]) * 2)
+        if runs is None:
+            return bad
+        counts, deltas = runs[0::2].astype(np.int64), runs[1::2].astype(np.int64)
+        n_stts = int(counts.sum())
+        # stsz: uniform size or per-sample table
+        s2, e2 = tables[b"stsz"]
+        head = u32s(s2, e2, 4, 2)
+        if head is None:
+            return bad
+        uniform, n = int(head[0]), int(head[1])
+        if n != n_stts or n == 0:
+            return bad
+        if uniform:
+            # a forged count can't exceed what the file could hold — guard
+            # BEFORE allocating n-sized arrays
+            if uniform * n > len(payload):
+                return bad
+            sizes = np.full(n, uniform, dtype=np.int64)
+        else:
+            sz = u32s(s2, e2, 12, n)
+            if sz is None:
+                return bad
+            sizes = sz.astype(np.int64)
+        # stco: chunk file offsets
+        s2, e2 = tables[b"stco"]
+        head = u32s(s2, e2, 4, 1)
+        if head is None:
+            return bad
+        stco = u32s(s2, e2, 8, int(head[0]))
+        if stco is None or len(stco) == 0:
+            return bad
+        chunk_off = stco.astype(np.int64)
+        # stsc: (first_chunk, samples_per_chunk) runs -> per-chunk counts
+        s2, e2 = tables[b"stsc"]
+        head = u32s(s2, e2, 4, 1)
+        if head is None:
+            return bad
+        ents = u32s(s2, e2, 8, int(head[0]) * 3)
+        if ents is None or len(ents) == 0:
+            return bad
+        first = ents[0::3].astype(np.int64)
+        spc = ents[1::3].astype(np.int64)
+        n_chunks = len(chunk_off)
+        if first[0] != 1 or np.any(np.diff(first) <= 0) or first[-1] > n_chunks:
+            return bad
+        run_len = np.diff(np.append(first, n_chunks + 1))
+        per_chunk = np.repeat(spc, run_len)
+        if int(per_chunk.sum()) != n or np.any(per_chunk <= 0):
+            return bad
+        # per-sample offsets: chunk base + within-chunk prefix of sizes
+        chunk_of_sample = np.repeat(np.arange(n_chunks), per_chunk)
+        pre = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        chunk_first_sample = np.concatenate(([0], np.cumsum(per_chunk)[:-1]))
+        offsets = chunk_off[chunk_of_sample] + (pre - pre[chunk_first_sample][chunk_of_sample])
+        if np.any(offsets < 0) or np.any(offsets + sizes > len(payload)):
+            return bad
+        pts = np.concatenate(([0], np.cumsum(np.repeat(deltas, counts))[:-1]))
+        return int(timescale), pts, offsets, sizes, None
+    return (*none, "NO_SAMPLE_TABLE")
+
+
+FRAME_SAMPLE_TYPE = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("pts_units", T.LongType(), False),
+        T.StructField("pts_s", T.DoubleType(), False),
+        T.StructField("byte_offset", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("frame_sha256", T.StringType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """REAL video frame sampling: parse the MP4 sample table
+    (stts/stsc/stsz/stco via ``_mp4_sample_table``), take every
+    ``every_n``-th frame, and emit its true presentation timestamp, byte
+    range, and a sha256 of the frame BYTES sliced from mdat — the shape a
+    training pipeline feeds a downstream decoder (pixel decode of the
+    codec bitstream itself is out of scope without a codec library; the
+    container-level sampling, the expensive part at scale, is real).
+    E6 semantics: unparseable videos yield one sentinel row
+    (frame_idx -1) carrying the error code, never an exception."""
+
+    def fn(batches):
+        for pdf in batches:
+            out = {k.name: [] for k in FRAME_SAMPLE_TYPE.fields}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                ts, pts, offs, sizes, err = _mp4_sample_table(p)
+                if err is not None:
+                    row = (int(mid), -1, 0, 0.0, -1, -1, "", err)
+                else:
+                    row = None
+                    for idx in range(0, len(sizes), every_n):
+                        o, sz = int(offs[idx]), int(sizes[idx])
+                        out["media_id"].append(int(mid))
+                        out["frame_idx"].append(idx)
+                        out["pts_units"].append(int(pts[idx]))
+                        out["pts_s"].append(round(int(pts[idx]) / ts, 6))
+                        out["byte_offset"].append(o)
+                        out["n_bytes"].append(sz)
+                        out["frame_sha256"].append(
+                            hashlib.sha256(p[o : o + sz]).hexdigest()
+                        )
+                        out["error"].append(None)
+                if row is not None:
+                    for k, v in zip(out, row):
+                        out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(fn, FRAME_SAMPLE_TYPE)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """(media_id, frame_idx) projection of ``sample_frames`` — frame
+    indexes come from the REAL parsed sample-table frame count, and
+    unparseable videos are excluded rather than emitting sentinel rows."""
+    return (
+        sample_frames(media, every_n=every_n)
+        .filter(F.col("error").isNull())
         .select("media_id", "frame_idx")
     )

@@ -358,12 +358,96 @@ def test_png_decode_kernel_taxonomy():
         _png_decode(png[:cut])
 
 
-def test_frame_sample_plan(spark):
+def test_sample_frames_real_table(spark):
+    """sample_frames walks a hand-built MP4's stts/stsc/stsz/stco for real:
+    true pts from the duration runs, byte ranges from the chunk layout,
+    sha256 of the frame bytes sliced out of mdat; unparseable videos yield
+    one sentinel row and are excluded from the plan projection."""
+    import hashlib
+    import struct
+
+    from ocr_spark.operators.multimodal import sample_frames
+
+    def box(t, body):
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    f0, f1, f2 = b"abc", b"defgh", b"zz"
+    ftyp = box(b"ftyp", b"isom\0\0\0\1mp42")
+    mdat = box(b"mdat", f0 + f1 + f2)
+    base = len(ftyp) + 8  # mdat body offset; chunk 1 = frames 0-1, chunk 2 = frame 2
+    mdhd = box(b"mdhd", struct.pack(">BxxxIIIIHH", 0, 0, 0, 1000, 250, 0, 0))
+    hdlr = box(b"hdlr", b"\0" * 8 + b"vide" + b"\0" * 13)
+    stsd = box(b"stsd", struct.pack(">BxxxI", 0, 0))
+    stts = box(b"stts", struct.pack(">BxxxIIIII", 0, 2, 1, 100, 2, 75))
+    stsc = box(b"stsc", struct.pack(">BxxxIIIIIII", 0, 2, 1, 2, 1, 2, 1, 1))
+    stsz = box(b"stsz", struct.pack(">BxxxIIIII", 0, 0, 3, 3, 5, 2))
+    stco = box(b"stco", struct.pack(">BxxxIII", 0, 2, base, base + 8))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    moov = box(b"moov", box(b"trak", box(b"mdia", mdhd + hdlr + box(b"minf", stbl))))
+    payload = ftyp + mdat + moov
+
     media = spark.createDataFrame(
-        [Row(media_id=9, kind="video", payload=b"v" * (1024 * 95), content_type="video/mp4")]
+        [
+            Row(media_id=9, kind="video", payload=payload, content_type="video/mp4"),
+            Row(media_id=10, kind="video", payload=b"v" * 2048, content_type="video/mp4"),
+        ]
     )
-    frames = [r["frame_idx"] for r in frame_sample_plan(media, every_n=30).collect()]
-    assert frames == [0, 30, 60, 90]
+    rows = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in sample_frames(media, every_n=2).collect()
+    }
+    assert set(rows) == {(9, 0), (9, 2), (10, -1)}
+    r0 = rows[(9, 0)]
+    assert (r0["pts_units"], r0["pts_s"], r0["byte_offset"], r0["n_bytes"]) == (0, 0.0, base, 3)
+    assert r0["frame_sha256"] == hashlib.sha256(f0).hexdigest()
+    r2 = rows[(9, 2)]  # pts(2) = 100 + 75 across the two stts runs
+    assert (r2["pts_units"], r2["pts_s"], r2["byte_offset"], r2["n_bytes"]) == (
+        175, 0.175, base + 8, 2,
+    )
+    assert r2["frame_sha256"] == hashlib.sha256(f2).hexdigest()
+    assert rows[(10, -1)]["error"] == "NOT_MP4"
+    frames = sorted(
+        (r["media_id"], r["frame_idx"])
+        for r in frame_sample_plan(media, every_n=1).collect()
+    )
+    assert frames == [(9, 0), (9, 1), (9, 2)]
+
+
+def test_sample_frames_matches_parameter_golden(spark, tiny_dir):
+    """sample_frames over the fixture == the generator's layout-arithmetic
+    golden on every field (pts, byte ranges, frame shas, error taxonomy)."""
+    from ocr_spark.fixtures.generator import FRAME_SAMPLE_EVERY_N
+    from ocr_spark.operators.multimodal import sample_frames
+
+    media = spark.read.parquet(f"{tiny_dir}/video.parquet")
+    key = lambda r: (r["media_id"], r["frame_idx"])  # noqa: E731
+    val = lambda r: (  # noqa: E731
+        r["pts_units"], r["pts_s"], r["byte_offset"], r["n_bytes"],
+        r["frame_sha256"], r["error"],
+    )
+    got = {
+        key(r): val(r)
+        for r in sample_frames(media, every_n=FRAME_SAMPLE_EVERY_N).collect()
+    }
+    want = {
+        key(r): val(r)
+        for r in spark.read.parquet(f"{tiny_dir}/golden_frames.parquet").collect()
+    }
+    assert got == want
+    # sample-table taxonomy coverage on the bigger tier
+    import pyarrow.parquet as _pq
+
+    from ocr_spark.fixtures.generator import ensure_fixtures as _ef
+
+    errs = set(
+        _pq.read_table(f"{_ef('small')}/golden_frames.parquet")
+        .column("error")
+        .to_pylist()
+    )
+    assert {
+        None, "EMPTY_INPUT", "NOT_MP4", "NO_MOOV", "NO_TRAK",
+        "NO_SAMPLE_TABLE", "BAD_SAMPLE_TABLE",
+    } <= errs
 
 
 # ---------------------------------------------------------------------------
@@ -969,7 +1053,11 @@ def test_media_parsers_never_raise_fuzz():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    from ocr_spark.operators.multimodal import _mp4_decode, _wav_decode
+    from ocr_spark.operators.multimodal import (
+        _mp4_decode,
+        _mp4_sample_table,
+        _wav_decode,
+    )
 
     @settings(max_examples=200, deadline=None)
     @given(st.binary(max_size=256))
@@ -977,6 +1065,7 @@ def test_media_parsers_never_raise_fuzz():
         for fn in (_wav_decode, _mp4_decode):
             out = fn(b)
             assert set(out) >= {"sha256", "error"}
+        _mp4_sample_table(b)  # returns an error tuple, never raises
 
     fuzz()
     # crafted: declared sizes far beyond the payload / zero-size loops
@@ -993,6 +1082,7 @@ def test_media_parsers_never_raise_fuzz():
     for b in crafted:
         _wav_decode(b)
         _mp4_decode(b)
+        _mp4_sample_table(b)
 
 
 def test_image_decode_matches_parameter_golden(spark, tiny_dir):
