@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "audio_meta",
     "audio_features",
     "video_meta",
+    "frame_sample",
     "image_meta",
     "image_resize",
     "sample_deterministic",
