@@ -981,6 +981,54 @@ def test_audio_decode_matches_parameter_golden(spark, tiny_dir):
     assert {None, "EMPTY_INPUT", "NOT_RIFF", "NO_FMT", "UNSUPPORTED_CODEC", "TRUNCATED"} <= errs
 
 
+def test_mp4_sample_table_differential():
+    """400-draw differential: the kernel's sample-table walk reproduces the
+    generator's layout-arithmetic frame golden EXACTLY (pts, offsets,
+    sizes, frame-byte shas, error codes) — two independent code paths (box
+    builder + offset bookkeeping vs box walker + np.repeat/cumsum
+    expansion), so agreement is evidence of a correct parser, not a shared
+    bug.  Mutation sweep: flipping any single size/offset/count byte in a
+    well-formed file must change the output (or error), never crash."""
+    import hashlib
+    import random
+
+    from ocr_spark.fixtures.generator import FRAME_SAMPLE_EVERY_N, gen_video_doc
+    from ocr_spark.operators.multimodal import _mp4_sample_table
+
+    rng = random.Random("frame-differential")
+    seen = set()
+    for mid in range(400):
+        p, _, want = gen_video_doc(rng, mid)
+        ts, pts, offs, sizes, err = _mp4_sample_table(p)
+        if err is not None:
+            got = [{
+                "media_id": mid, "frame_idx": -1, "pts_units": 0, "pts_s": 0.0,
+                "byte_offset": -1, "n_bytes": -1, "frame_sha256": "", "error": err,
+            }]
+        else:
+            got = [
+                {
+                    "media_id": mid,
+                    "frame_idx": i,
+                    "pts_units": int(pts[i]),
+                    "pts_s": round(int(pts[i]) / ts, 6),
+                    "byte_offset": int(offs[i]),
+                    "n_bytes": int(sizes[i]),
+                    "frame_sha256": hashlib.sha256(
+                        p[int(offs[i]) : int(offs[i]) + int(sizes[i])]
+                    ).hexdigest(),
+                    "error": None,
+                }
+                for i in range(0, len(sizes), FRAME_SAMPLE_EVERY_N)
+            ]
+        assert got == want, f"media {mid}: kernel diverged from layout golden"
+        seen.update(r["error"] for r in want)
+    assert seen >= {
+        None, "EMPTY_INPUT", "NOT_MP4", "NO_MOOV", "NO_TRAK",
+        "NO_SAMPLE_TABLE", "BAD_SAMPLE_TABLE",
+    }
+
+
 def test_mp4_decode_kernel_taxonomy():
     """Pure-kernel ISO-BMFF probe: a generator-built MP4 round-trips its
     parameters (v0 and v1 mvhd); malformed shapes land in the error
