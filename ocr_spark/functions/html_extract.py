@@ -183,7 +183,14 @@ def tokenize_blocks_stdlib(html: str) -> list[Block]:
 # contain '>'.  A '/' inside the attrs span is consumed only when NOT
 # followed by '>' ('/(?!>)'), so the self-closing slash always lands in
 # the (/?) capture — a plain [^>"']* would greedily eat it and misread
-# <br/> as an opening tag.  split-then-scan beats a finditer loop ~1.25x: the flat
+# <br/> as an opening tag.  The attrs loop is POSSESSIVE (++ / *+): a
+# one-or-more char class nested in a star is the classic (a+)* exponential-
+# backtracking shape, and a document truncated mid-tag ('<a href=x' at EOF,
+# no '>') made the backtracking engine hang — ~2x per extra attr char, 17 s
+# at 28 chars.  Possessive is language-identical here: the star can never
+# consume the '/' or '>' that the tail '(/?)>' needs (the '/(?!>)' branch
+# guarantees it), so there is nothing valid to give back.  split-then-scan
+# beats a finditer loop ~1.25x: the flat
 # parts list replaces one Match object + .span() + .group() call per tag
 # with plain list indexing (C-level), and the text chunks arrive already
 # sliced.
@@ -191,15 +198,18 @@ _TOKEN_SPLIT_RE = re.compile(
     r"<!--.*?-->"
     r"|<!\[CDATA\[.*?\]\]>"
     r"|<[!?][^>]*>"
-    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)(?:(?:\"[^\"]*\"|'[^']*'|[^>\"'/]+|/(?!>))*)(/?)>",
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)(?:(?:\"[^\"]*\"|'[^']*'|[^>\"'/]++|/(?!>))*+)(/?)>",
     re.DOTALL,
 )
 
 
 def tokenize_blocks(html: str) -> list[Block]:
     """Fast scanner with all-local state (no attribute traffic in the hot
-    loop) — must emit exactly the blocks of ``tokenize_blocks_stdlib``
-    (differential-tested in tests/test_kernels.py).
+    loop) — must emit exactly the blocks of ``tokenize_blocks_reference``
+    on ALL input (the frozen-grammar reference; differential-tested in
+    tests/test_kernels.py) and of ``tokenize_blocks_stdlib`` on
+    WELL-FORMED markup (on soup the stdlib parser's bogus-markup recovery
+    deliberately differs — see its docstring).
 
     ``parts`` alternates [text, slash, name, selfc, text, ...]: each
     match contributes its 3 captured groups, each gap its text chunk

@@ -760,7 +760,9 @@ FRAME_SAMPLE_TYPE = T.StructType(
 )
 
 
-def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
+def sample_frames(
+    media: DataFrame, every_n: int = 30, hash_frames: bool = True
+) -> DataFrame:
     """REAL video frame sampling: parse the MP4 sample table
     (stts/stsc/stsz/stco via ``_mp4_sample_table``), take every
     ``every_n``-th frame, and emit its true presentation timestamp, byte
@@ -769,7 +771,10 @@ def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
     codec bitstream itself is out of scope without a codec library; the
     container-level sampling, the expensive part at scale, is real).
     E6 semantics: unparseable videos yield one sentinel row
-    (frame_idx -1) carrying the error code, never an exception."""
+    (frame_idx -1) carrying the error code, never an exception.
+    ``hash_frames=False`` skips the per-frame digest (frame_sha256 = "")
+    for consumers that only need the index/range plan — Catalyst cannot
+    prune work out of an opaque mapInPandas, so the skip must be explicit."""
 
     def fn(batches):
         for pdf in batches:
@@ -790,6 +795,8 @@ def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
                         out["n_bytes"].append(sz)
                         out["frame_sha256"].append(
                             hashlib.sha256(p[o : o + sz]).hexdigest()
+                            if hash_frames
+                            else ""
                         )
                         out["error"].append(None)
                 if row is not None:
@@ -803,9 +810,11 @@ def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     """(media_id, frame_idx) projection of ``sample_frames`` — frame
     indexes come from the REAL parsed sample-table frame count, and
-    unparseable videos are excluded rather than emitting sentinel rows."""
+    unparseable videos are excluded rather than emitting sentinel rows.
+    Skips the per-frame digest (hash_frames=False): the projection only
+    needs the table walk."""
     return (
-        sample_frames(media, every_n=every_n)
+        sample_frames(media, every_n=every_n, hash_frames=False)
         .filter(F.col("error").isNull())
         .select("media_id", "frame_idx")
     )

@@ -403,6 +403,27 @@ def test_split_tokenizer_matches_scanner_reference_on_adversarial_html(fragments
     assert tokenize_blocks(html) == tokenize_blocks_reference(html)
 
 
+def test_split_tokenizer_linear_on_truncated_tags():
+    """Regression: a document cut mid-tag (no closing '>' before EOF) must
+    tokenize in linear time and still equal the character-scanner reference.
+    Pre-fix, the attrs loop was the classic (a+)* exponential-backtracking
+    shape — 28 plain attribute chars took >17 s, doubling per char; the
+    possessive rewrite handles 20k chars in microseconds."""
+    import time
+
+    from ocr_spark.functions.html_extract import (
+        tokenize_blocks,
+        tokenize_blocks_reference,
+    )
+
+    for prefix in ("<a ", "<a href=", "<div class=x ", '<a b="'):
+        html = "text " + prefix + "x" * 20000  # EOF mid-tag, never closes
+        t0 = time.time()
+        fast = tokenize_blocks(html)
+        assert time.time() - t0 < 1.0, f"superlinear tokenize on {prefix!r}"
+        assert fast == tokenize_blocks_reference(html)
+
+
 def test_split_tokenizer_matches_stdlib_on_generated_pages():
     """On the realistic (well-formed) fixture distribution the regex grammar
     and html.parser agree block-for-block — pins the production tokenizer to

