@@ -21,6 +21,13 @@ is applied in the FIXED order email -> ipv4 -> phone on both sides (the
 match counts are computed on the ORIGINAL text, so count columns are
 order-independent; the redacted text is order-dependent, hence the frozen
 order).
+
+Backtracking bound: none of the three patterns nests an unbounded
+quantifier inside another (the (a+)* exponential shape), so the Spark/Java
+side is at worst QUADRATIC on adversarial runs (e.g. megabytes of
+``a.a.a...`` after an ``@``) — the price of the RE2-compatible subset,
+which rules out the possessive quantifiers that would make Java linear;
+the DuckDB/RE2 side is always linear by construction.
 """
 
 from __future__ import annotations
