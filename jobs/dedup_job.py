@@ -71,6 +71,7 @@ def main(argv: list[str] | None = None) -> dict:
     from pyspark.sql import SparkSession
 
     from ocr_spark.operators.corpus_filter import corpus_filter
+    from ocr_spark.operators.dedup import StaleTableError
     from ocr_spark.session import build_session
     from ocr_spark.sources.icelite import (
         CommitConflictError,
@@ -111,10 +112,14 @@ def main(argv: list[str] | None = None) -> dict:
 
         from ocr_spark.operators.corpus_ops import remove_boilerplate_lines
 
-        cleaned = remove_boilerplate_lines(
-            docs, min_doc_freq=args.strip_boilerplate
-        ).select("doc_id", _F.col("text_clean").alias("text"))
-        docs = docs.drop("text").join(cleaned, "doc_id")
+        # metadata columns ride the op's exploded relation (carry_cols)
+        # and come back out of its reassembly groupBy — NOT a second
+        # corpus-scale join back onto the input, which is exactly the
+        # broadcast-tempting pattern the op's own docstring warns against
+        carry = tuple(c for c in docs.columns if c not in ("doc_id", "text"))
+        docs = remove_boilerplate_lines(
+            docs, min_doc_freq=args.strip_boilerplate, carry_cols=carry
+        ).select("doc_id", *carry, _F.col("text_clean").alias("text"))
         pre_stages.append(f"strip_boilerplate>={args.strip_boilerplate}")
     if args.dedup_doc_lines:
         from ocr_spark.operators.corpus_ops import dedup_lines_expr
@@ -192,9 +197,12 @@ def main(argv: list[str] | None = None) -> dict:
     except IceliteError as e:
         print(f"error: table layout rejected: {e}", file=sys.stderr)
         raise SystemExit(4) from None
-    except ValueError as e:
+    except StaleTableError as e:
         # stale/config-drifted signature table (materialize_minhash_signatures)
-        # — a layout rejection like the icelite ones, same exit code
+        # — a layout rejection like the icelite ones, same exit code.  The
+        # TYPED catch matters: a bare `except ValueError` would relabel any
+        # unrelated ValueError from the job body as a table rejection and
+        # hide its traceback behind exit 4
         print(f"error: table rejected: {e}", file=sys.stderr)
         raise SystemExit(4) from None
     print(json.dumps(stats))

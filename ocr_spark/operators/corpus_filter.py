@@ -154,23 +154,26 @@ def corpus_filter(
             # input, filter configuration, benchmark CONTENT) — fingerprint
             # all three so a rerun with different rules/langs, a drifted
             # corpus, or a swapped same-cardinality benchmark refuses the
-            # stale table.  Identity is count-based on the CHEAP relations
-            # (raw input scan; one aggregate over the small benchmark), so
-            # materialize can skip its own drift count, which would
+            # stale table.  Identity is CONTENT-based (count + crc32 sum of
+            # the text) on the CHEAP relations — one scan-only aggregate
+            # over the raw input, one over the small benchmark; a raw COUNT
+            # alone would silently reuse stale signatures after an
+            # equal-cardinality text drift (e.g. re-extracted docs).  This
+            # lets materialize skip its own drift count, which would
             # re-execute this whole filter pipeline on every reuse.
-            bench_digest = None
-            if benchmark is not None:
-                b = benchmark.agg(
+            def digest(frame):
+                row = frame.agg(
                     F.count(F.lit(1)).alias("n"),
                     F.sum(F.crc32(F.col(text_col).cast("binary"))).alias("h"),
                 ).collect()[0]
-                bench_digest = [int(b["n"]), int(b["h"] or 0)]
+                return [int(row["n"]), int(row["h"] or 0)]
+
             token = _json.dumps(
                 {
                     "rules": {k: r[k] for k in sorted(r)},
                     "langs": sorted(langs) if langs else None,
-                    "input_docs": df.count(),
-                    "benchmark": bench_digest,
+                    "input_digest": digest(df),
+                    "benchmark": digest(benchmark) if benchmark is not None else None,
                     "decont_n": decont_n if benchmark is not None else None,
                     "input_token": input_token,
                 },

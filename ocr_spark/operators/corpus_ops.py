@@ -27,8 +27,6 @@ Scale notes (the 100 TB lens):
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -110,11 +108,14 @@ def decontaminate(
     GUARDED: ``hits`` is bounded by the contaminated-doc count, tiny for a
     real eval set, but a benchmark that shares boilerplate with the corpus
     (or a mis-passed frame) makes it corpus-scale and an unconditional
-    broadcast would OOM the driver.  A ``limit(cap+1).count()`` probe (the
-    limit short-circuits, so the pathological case is cheap) picks
-    broadcast below the cap and a plain shuffle join above it.  The probe
-    costs one extra pass over the gram join in the benign case; callers
-    that KNOW the benchmark is a bounded eval set can pass
+    broadcast would OOM the driver.  The probe COLLECTS up to cap+1 rows
+    (a bare limit().count() cannot short-circuit below the blocking gram
+    aggregate, and counting-then-joining would run the gram join twice):
+    below the cap the collected rows BECOME the broadcast side, so the
+    benign case computes the gram join exactly once and no persisted
+    relation outlives the call; above the cap a plain shuffle join
+    recomputes the aggregate once (pathological path only).  Callers that
+    KNOW the benchmark is a bounded eval set can pass
     ``max_broadcast_hits=None`` to skip the probe and broadcast
     unconditionally."""
     bench_grams = (
@@ -132,10 +133,15 @@ def decontaminate(
     if max_broadcast_hits is None:
         right = F.broadcast(hits)
     else:
-        n_probe = hits.limit(max_broadcast_hits + 1).count()
-        right = F.broadcast(hits) if n_probe <= max_broadcast_hits else hits
+        probe = hits.limit(max_broadcast_hits + 1).collect()
+        if len(probe) <= max_broadcast_hits:
+            right = F.broadcast(
+                corpus.sparkSession.createDataFrame(probe, schema=hits.schema)
+            )
+        else:
+            right = hits
     return (
-        ids.join(right, ids[id_col] == hits._id, "left")
+        ids.join(right, ids[id_col] == right["_id"], "left")
         .select(
             id_col,
             F.col("n_matched_grams").isNotNull().alias("contaminated"),
@@ -335,6 +341,7 @@ def remove_boilerplate_lines(
     text_col: str = "text",
     min_doc_freq: int = 5,
     max_broadcast_lines: int | None = 4_000_000,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Cross-document boilerplate-line removal (the CCNet paragraph-dedup /
     RefinedWeb line-filter stage): a line appearing in >= ``min_doc_freq``
@@ -363,13 +370,18 @@ def remove_boilerplate_lines(
       the rebuilt docs back onto the id relation to restore emptied docs
       — is a second corpus-scale join that the optimizer is tempted to
       BROADCAST (the rebuilt side carries full document text; at 100 TB
-      that is a driver OOM, not a plan).
+      that is a driver OOM, not a plan).  For the same reason callers that
+      need other columns preserved pass ``carry_cols`` — the metadata
+      rides the exploded relation (a few extra bytes per line row) and is
+      re-emitted by the reassembly groupBy, instead of a second
+      corpus-scale join back onto the input.
     """
     # NULL text folds to "" so the doc still reaches the output (a null
     # split array would silently drop it from the exploded relation)
     arr = df.select(
         F.col(id_col).alias("_id"),
         F.split(F.coalesce(F.col(text_col), F.lit("")), "\n").alias("_arr"),
+        *[F.col(c) for c in carry_cols],
     )
     freq = (
         arr.select(F.explode(F.array_distinct("_arr")).alias("_line"))
@@ -380,25 +392,34 @@ def remove_boilerplate_lines(
     if max_broadcast_lines is None:
         hot_rel = F.broadcast(hot)
     else:
-        # persist so the probe count and the anti-join build share ONE
-        # line-frequency aggregation (unpersisted, the corpus would be
-        # aggregated twice); the hot set is small in the benign case and
-        # spills to disk in the pathological one
-        hot = hot.persist()
-        n_probe = hot.limit(max_broadcast_lines + 1).count()
-        hot_rel = F.broadcast(hot) if n_probe <= max_broadcast_lines else hot
+        # the probe COLLECTS up to cap+1 rows: a limit().count() cannot
+        # short-circuit below the blocking frequency aggregate, and a
+        # persisted relation would leak a cache the caller never owns.
+        # Below the cap the collected rows BECOME the anti-join side (the
+        # aggregation runs exactly once); above it, the shuffle-join
+        # fallback recomputes the aggregate once (pathological path only).
+        probe = hot.limit(max_broadcast_lines + 1).collect()
+        if len(probe) <= max_broadcast_lines:
+            hot_rel = F.broadcast(
+                df.sparkSession.createDataFrame(probe, schema=hot.schema)
+            )
+        else:
+            hot_rel = hot
     sentinel = F.array(F.lit(None).cast("string"))
     lines = arr.select(
         "_id",
         F.size("_arr").cast("bigint").alias("_n_lines"),
         F.posexplode(F.concat(sentinel, F.col("_arr"))).alias("_pos", "_line"),
+        *[F.col(c) for c in carry_cols],
     )
     kept = lines.join(hot_rel, "_line", "left_anti")
     # every physical input row contributes exactly one (null-line) sentinel;
     # seeing more than one in a group means duplicate ids, whose lines
     # would interleave into garbage text — fail loudly on EVERY output
     # column (a consumer that prunes down to just text_clean must still
-    # hit the guard)
+    # hit the guard).  The group key is the id ALONE: grouping on
+    # (_id, _n_lines) would split duplicate ids with differing line counts
+    # into separate 1-sentinel groups and silently emit multiple rows.
     dup_msg = F.concat(
         F.lit("remove_boilerplate_lines: duplicate id "),
         F.col("_id").cast("string"),
@@ -408,7 +429,11 @@ def remove_boilerplate_lines(
     def guarded(col):
         return F.when(F.col("_n_sent") == 1, col).otherwise(F.raise_error(dup_msg))
 
-    return kept.groupBy("_id", "_n_lines").agg(
+    return kept.groupBy("_id").agg(
+        # min/first are deterministic here: the guard rejects any group
+        # built from more than one input row
+        F.min("_n_lines").alias("_n_lines"),
+        *[F.first(c).alias(c) for c in carry_cols],
         F.sum(F.col("_line").isNull().cast("int")).alias("_n_sent"),
         (F.count(F.lit(1)) - 1).cast("bigint").alias("_n_kept"),
         F.array_join(
@@ -423,6 +448,7 @@ def remove_boilerplate_lines(
         ).alias("text_clean"),
     ).select(
         F.col("_id").alias(id_col),
+        *[F.col(c) for c in carry_cols],
         F.col("_n_lines").alias("n_lines"),
         guarded(F.col("_n_lines") - F.col("_n_kept")).cast("bigint").alias("n_removed"),
         guarded(F.col("text_clean")).alias("text_clean"),

@@ -28,6 +28,14 @@ from pyspark.sql import types as T
 from ocr_spark.functions import textstats as K
 
 
+class StaleTableError(ValueError):
+    """A materialized signature/gram table was built with different
+    parameters or over a drifted doc set — drop the table to rebuild.
+    Subclasses ValueError for backward compatibility; CLI entry points
+    catch THIS type (not bare ValueError) to map table rejections to
+    their layout exit code without swallowing unrelated ValueErrors."""
+
+
 # ---------------------------------------------------------------------------
 # exact dedup (SQL-expressible -> has a DuckDB oracle)
 # ---------------------------------------------------------------------------
@@ -126,10 +134,11 @@ def materialize_minhash_signatures(
     token can't see — note that count RE-EXECUTES ``df``'s upstream plan
     once per reuse call, so a caller whose upstream is expensive (e.g. the
     full rules+dedup pipeline in ``corpus_filter``) should instead fold
-    the input's content identity (raw count / config digest) into
-    ``dataset_token`` and pass ``check_count=False``; the protection is
-    equivalent (both are count-equality checks) but paid on the CHEAP raw
-    relation rather than the filtered one."""
+    the input's CONTENT identity into ``dataset_token`` and pass
+    ``check_count=False``.  The token must cover content (count + a text
+    digest, as ``corpus_filter`` does), not count alone: a raw count is
+    strictly weaker than this check — an equal-cardinality text drift
+    (re-extracted docs) changes the kept set without changing the count."""
     spark = df.sparkSession
     if table.exists() and table.row_count() > 0:
         # reuse only a table built with the SAME parameters — 64-wide
@@ -149,14 +158,14 @@ def materialize_minhash_signatures(
         )
         want = {"num_perm": num_perm, "bands": bands, "dataset_token": dataset_token}
         if stored != want:
-            raise ValueError(
+            raise StaleTableError(
                 f"signature table {table.root} was built with {stored}, "
                 f"requested {want} — drop the table to rebuild"
             )
         if check_count:
             n_df, n_tbl = df.count(), table.row_count()
             if n_df != n_tbl:
-                raise ValueError(
+                raise StaleTableError(
                     f"signature table {table.root} holds {n_tbl} signatures but "
                     f"the input has {n_df} docs — the doc set drifted since the "
                     "table was built; drop the table to rebuild"
@@ -420,13 +429,13 @@ def materialize_ngram_grams(
             None,
         )
         if stored is None or stored["n"] != n or stored["dataset_token"] != dataset_token:
-            raise ValueError(
+            raise StaleTableError(
                 f"gram table {table.root} was built with {stored}, requested "
                 f"n={n} dataset_token={dataset_token} — drop the table to rebuild"
             )
         n_df = df.count()
         if n_df != stored["input_docs"]:
-            raise ValueError(
+            raise StaleTableError(
                 f"gram table {table.root} was built over {stored['input_docs']} "
                 f"docs but the input has {n_df} — the doc set drifted since "
                 "the table was built; drop the table to rebuild"

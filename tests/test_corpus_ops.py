@@ -477,6 +477,34 @@ def test_remove_boilerplate_duplicate_ids_fail_loudly(spark):
     out = remove_boilerplate_lines(df, min_doc_freq=9)
     with _pytest.raises(Exception, match="duplicate id 7"):
         out.select("doc_id", "text_clean").collect()
+    # duplicates with DIFFERING line counts must also raise — grouping on
+    # (_id, n_lines) instead of the id alone would split them into
+    # separate 1-sentinel groups and silently emit two rows
+    df2 = spark.createDataFrame(
+        [(7, "a\nb"), (7, "x"), (8, "ok")], "doc_id long, text string"
+    )
+    with _pytest.raises(Exception, match="duplicate id 7"):
+        remove_boilerplate_lines(df2, min_doc_freq=9).select("text_clean").collect()
+
+
+def test_remove_boilerplate_carry_cols(spark):
+    """Metadata columns ride the exploded relation and come back out of the
+    reassembly groupBy — the no-second-corpus-join path dedup_job uses."""
+    from ocr_spark.operators.corpus_ops import remove_boilerplate_lines
+
+    footer = "shared footer row"
+    rows = [(i, f"{footer}\nbody {i}", f"https://h{i}.example/", "en") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string, lang string")
+    got = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(
+            df, min_doc_freq=5, carry_cols=("url", "lang")
+        ).collect()
+    }
+    for i in range(6):
+        assert got[i]["url"] == f"https://h{i}.example/"
+        assert got[i]["lang"] == "en"
+        assert got[i]["text_clean"] == f"body {i}"
 
 
 def test_corpus_filter_input_token_guards_signature_reuse(spark, tmp_path):
@@ -501,5 +529,35 @@ def test_corpus_filter_input_token_guards_signature_reuse(spark, tmp_path):
         kept2, _ = corpus_filter(
             df, rules={"min_chars": 5}, near_dedup=True,
             signatures_table=tbl, input_token="redact_pii",
+        )
+        kept2.count()
+
+
+def test_corpus_filter_content_drift_refuses_signature_reuse(spark, tmp_path):
+    """An EQUAL-CARDINALITY text drift (e.g. re-extracted docs after an
+    upstream extractor fix) must refuse the stale signature table: the
+    fingerprint is content-based (count + crc32 sum of text), and a
+    raw count alone would silently reuse signatures hashed over the old
+    texts and mis-cluster."""
+    import pytest as _pytest
+
+    from ocr_spark.operators.corpus_filter import corpus_filter
+    from ocr_spark.operators.dedup import StaleTableError
+    from ocr_spark.sources.icelite import IceliteTable
+
+    rows = [(i, f"document body number {i} with several words") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tbl = IceliteTable(str(tmp_path / "sigs"), key_col="doc_id", n_buckets=4)
+    kept, _ = corpus_filter(
+        df, rules={"min_chars": 5}, near_dedup=True, signatures_table=tbl
+    )
+    kept.count()  # materializes the signature table
+    drifted = spark.createDataFrame(
+        [(i, f"REWRITTEN body number {i} with several words") for i in range(30)],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(StaleTableError):
+        kept2, _ = corpus_filter(
+            drifted, rules={"min_chars": 5}, near_dedup=True, signatures_table=tbl
         )
         kept2.count()
