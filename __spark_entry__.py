@@ -993,7 +993,8 @@ def oracle_sql() -> dict[str, str]:
         # stateful streaming fixpoint: the last per-host update after the
         # availableNow drain equals the batch groupBy over the golden
         "host_stats_state": f"""
-            SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+            SELECT regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)
+                       AS host,
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(CASE WHEN expect_error THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_errors,

@@ -64,9 +64,24 @@ def _manifest(src: str) -> dict:
 
 def ensure_sidecars(sf_dir: str) -> str:
     """Generate (or reuse) the signature sidecars for ``sf_dir``'s
-    ``documents`` table; returns the sidecar directory."""
+    ``documents`` table; returns the sidecar directory.
+
+    Concurrency/atomicity: every file lands via write-to-temp +
+    ``os.replace`` (the manifest LAST), so a reader racing a regeneration
+    sees either the old complete file or the new complete one, never a
+    torn parquet.  Two concurrent writers are benign: the sidecar bytes
+    are deterministic from (src content, frozen params), so racing
+    replaces install identical data.  The dir key includes a digest of the
+    source's ABSOLUTE path — two corpora that share a basename (a/sf0.01
+    vs b/sf0.01) must not thrash one cache dir and silently serve each
+    other's signatures."""
+    import hashlib
+
     src = os.path.join(sf_dir, "documents.parquet")
-    out = os.path.join(_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+    src_key = hashlib.sha1(os.path.abspath(src).encode()).hexdigest()[:10]
+    out = os.path.join(
+        _ROOT, f"{os.path.basename(os.path.normpath(sf_dir))}-{src_key}"
+    )
     man_path = os.path.join(out, "_manifest.json")
     want = _manifest(src)
     if os.path.exists(man_path):
@@ -74,6 +89,11 @@ def ensure_sidecars(sf_dir: str) -> str:
             if json.load(f) == want:
                 return out
     os.makedirs(out, exist_ok=True)
+
+    def _write_atomic(table, path: str) -> None:
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
 
     t = pq.read_table(src, columns=["doc_id", "text"])
     doc_ids = t.column("doc_id").to_pylist()
@@ -83,7 +103,7 @@ def ensure_sidecars(sf_dir: str) -> str:
     bases = K.char_shingle_hashes_batch(texts)
     sig = K.minhash_batch(bases, NUM_PERM)  # (n, 64) uint64
     band = K.lsh_band_keys_batch(sig, BANDS)  # (n, 16) uint64
-    pq.write_table(
+    _write_atomic(
         pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
@@ -100,7 +120,7 @@ def ensure_sidecars(sf_dir: str) -> str:
 
     # ---- simhash fingerprints -------------------------------------------
     sh = K.simhash_batch(texts)  # (n,) uint64
-    pq.write_table(
+    _write_atomic(
         pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
@@ -120,7 +140,7 @@ def ensure_sidecars(sf_dir: str) -> str:
         kg_doc.extend([d] * hs.size)
         kg_pos.extend(range(hs.size))
         kg_hash.extend(int(h) for h in hs)
-    pq.write_table(
+    _write_atomic(
         pa.table(
             {
                 "doc_id": pa.array(kg_doc, pa.int64()),
@@ -131,8 +151,8 @@ def ensure_sidecars(sf_dir: str) -> str:
         os.path.join(out, "kgrams.parquet"),
     )
 
-    tmp = man_path + ".tmp"
-    with open(tmp, "w") as f:
+    tmp = f"{man_path}.tmp-{os.getpid()}"  # pid-suffixed: two writers must
+    with open(tmp, "w") as f:  # not interleave into one temp file
         json.dump(want, f, indent=1)
     os.replace(tmp, man_path)
     return out

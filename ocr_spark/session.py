@@ -31,10 +31,17 @@ def build_session(
     use_submit_master: bool = False,
 ) -> SparkSession:
     """``use_submit_master=True`` leaves the master unset so a
-    ``spark-submit --master`` launch controls it (cluster mode)."""
+    ``spark-submit --master`` launch controls it (cluster mode).  A
+    spark-submit launch is ALSO auto-detected (``PYSPARK_GATEWAY_PORT``
+    marks the submit-provided JVM gateway, which already carries the
+    submitted conf): builder options override submit conf, so setting
+    ``builder.master`` here would silently clobber ``--master yarn`` and
+    run the "cluster" job on the driver host at local[N]."""
     cores = cores or default_parallelism()
     shuffle_partitions = shuffle_partitions or max(cores, 8)
     builder = SparkSession.builder
+    if not use_submit_master:
+        use_submit_master = "PYSPARK_GATEWAY_PORT" in os.environ
     if not use_submit_master:
         builder = builder.master(f"local[{cores}]")
     builder = (

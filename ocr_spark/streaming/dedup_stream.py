@@ -30,9 +30,16 @@ def dedup_stream(
     """First-arrival-wins exact dedup over a stream: rows whose
     ``text_col`` md5 was already seen within ``horizon`` (event time) are
     dropped; state older than the watermark is evicted, bounding the
-    store.  Returns the deduplicated stream (original columns)."""
+    store.  Returns the deduplicated stream (original columns).
+
+    The key is ``md5(text)`` on the RAW column, exactly like the batch
+    ``exact_dedup``: null texts key to NULL (one group of their own,
+    matching batch groupBy-null semantics) and do NOT collide with
+    empty-string texts — a ``coalesce(text, '')`` here would make the
+    stream drop an empty doc because a null doc arrived first, diverging
+    from what the batch pipeline keeps on the same corpus."""
     return (
-        stream.withColumn("_text_md5", F.md5(F.coalesce(F.col(text_col), F.lit(""))))
+        stream.withColumn("_text_md5", F.md5(F.col(text_col)))
         .withWatermark(ts_col, horizon)
         .dropDuplicatesWithinWatermark(["_text_md5"])
         .drop("_text_md5")

@@ -35,10 +35,18 @@ def run_stream_once(
     total = {"n": 0}
 
     def sink(batch_df, epoch_id: int) -> None:
-        cnt = batch_df.count()
-        if cnt:
-            out_table.merge(batch_df, metadata={"stream_epoch": epoch_id})
-        total["n"] += cnt
+        # persist: the extraction arrow_udf is the dominant cost and the
+        # sink consumes batch_df three times (this count, merge's
+        # distinct-bucket probe, merge's combined write) — unpersisted,
+        # every micro-batch would pay the extraction 3x
+        batch_df.persist()
+        try:
+            cnt = batch_df.count()
+            if cnt:
+                out_table.merge(batch_df, metadata={"stream_epoch": epoch_id})
+            total["n"] += cnt
+        finally:
+            batch_df.unpersist()
 
     q = (
         extracted.writeStream.foreachBatch(sink)

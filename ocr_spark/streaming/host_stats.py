@@ -55,11 +55,14 @@ def _update(
     )
 
 
+HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)"  # same authority parse as
+# host_report / urlnorm: no trailing-slash requirement (http://example.com
+# and https://example.com?q=1 must not all collapse to host ''), port split
+
+
 def host_stats_stream(extracted: DataFrame) -> DataFrame:
     """extracted (streaming) -> running per-host stats (update-per-batch)."""
-    with_host = extracted.withColumn(
-        "host", F.regexp_extract("url", r"^https?://([^/]+)/", 1)
-    )
+    with_host = extracted.withColumn("host", F.regexp_extract("url", HOST_RE, 1))
     return (
         with_host.select("host", "error", "text")
         .groupBy("host")
@@ -75,15 +78,20 @@ def host_stats_stream(extracted: DataFrame) -> DataFrame:
 
 def run_host_stats_once(
     spark, input_dir: str, updates_dir: str, checkpoint_dir: str
-) -> None:
+) -> str:
     """Drain all currently-available page files (availableNow, several
     micro-batch epochs) through extraction + the stateful per-host
-    operator, appending every update row tagged with its epoch to
+    operator, appending every update row tagged with (run, epoch) to
     ``updates_dir`` — the durable update log a monitoring sink would
-    consume at crawl scale."""
+    consume at crawl scale.  Returns the run token: epochs restart at 0
+    under a fresh checkpoint, so rows from different runs sharing an
+    append-mode log are only ordered WITHIN a run."""
+    import time
+
     from ocr_spark.operators.extract import extract_pages
     from ocr_spark.schemas import PAGES_SCHEMA
 
+    run_token = f"{time.time_ns():020d}"  # zero-padded: lexicographic == numeric
     stream = (
         spark.readStream.schema(PAGES_SCHEMA)
         .option("maxFilesPerTrigger", 4)
@@ -92,9 +100,9 @@ def run_host_stats_once(
     stats = host_stats_stream(extract_pages(stream))
 
     def sink(batch_df, epoch_id: int) -> None:
-        batch_df.withColumn("_epoch", F.lit(int(epoch_id))).write.mode(
-            "append"
-        ).parquet(updates_dir)
+        batch_df.withColumn("_run", F.lit(run_token)).withColumn(
+            "_epoch", F.lit(int(epoch_id))
+        ).write.mode("append").parquet(updates_dir)
 
     q = (
         stats.writeStream.outputMode("update")
@@ -104,19 +112,28 @@ def run_host_stats_once(
         .start()
     )
     q.awaitTermination()
+    return run_token
 
 
-def final_host_stats(spark, updates_dir: str) -> DataFrame:
-    """Fold the epoch-tagged update log to its FIXPOINT: the last update
-    per host is the running total after the final batch — which must equal
-    the batch groupBy over the same input (the oracle-checkable end state
-    of the incremental computation)."""
+def final_host_stats(spark, updates_dir: str, run_token: str | None = None) -> DataFrame:
+    """Fold the update log to its FIXPOINT: the last update per host
+    within ONE run is the running total after that run's final batch —
+    which must equal the batch groupBy over the same input (the
+    oracle-checkable end state of the incremental computation).
+
+    Only ``run_token``'s rows (default: the latest run) are folded: a
+    reused updates_dir holds earlier runs whose epochs also start at 0,
+    and a tie on the bare epoch column would break nondeterministically,
+    sometimes returning the PREVIOUS run's totals."""
     from pyspark.sql import Window
 
+    log = spark.read.parquet(updates_dir)
+    if run_token is None:
+        run_token = log.agg(F.max("_run")).collect()[0][0]
     w = Window.partitionBy("host").orderBy(F.col("_epoch").desc())
     return (
-        spark.read.parquet(updates_dir)
+        log.filter(F.col("_run") == run_token)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_epoch")
+        .drop("_rn", "_epoch", "_run")
     )

@@ -155,12 +155,20 @@ def test_host_stats_update_log_fixpoint(spark, tiny_dir, tmp_path):
     incremental path: at least one host's totals grow across epochs) and
     final_host_stats folds the update log to the batch-groupBy fixpoint."""
     from ocr_spark.operators.extract import extract_pages
-    from ocr_spark.streaming.host_stats import final_host_stats, run_host_stats_once
+    from ocr_spark.streaming.host_stats import (
+        HOST_RE,
+        final_host_stats,
+        run_host_stats_once,
+    )
 
     inp, upd, ckpt = (str(tmp_path / d) for d in ("in", "updates", "ckpt"))
     pages = spark.read.parquet(f"{tiny_dir}/pages.parquet")
     pages.repartition(12).write.parquet(inp)
     run_host_stats_once(spark, inp, upd, ckpt)
+    # a SECOND run against the same append-mode log with a fresh checkpoint
+    # (epochs restart at 0): final_host_stats must fold only the latest
+    # run's rows, not tie-break across runs nondeterministically
+    run_host_stats_once(spark, inp, upd, str(tmp_path / "ckpt2"))
 
     log = spark.read.parquet(upd)
     assert log.select("_epoch").distinct().count() > 1  # genuinely incremental
@@ -179,7 +187,7 @@ def test_host_stats_update_log_fixpoint(spark, tiny_dir, tmp_path):
     want = {
         r["host"]: (r["n_docs"], r["n_errors"], r["total_chars"])
         for r in extract_pages(pages)
-        .withColumn("host", F.regexp_extract("url", r"^https?://([^/]+)/", 1))
+        .withColumn("host", F.regexp_extract("url", HOST_RE, 1))
         .groupBy("host")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -191,6 +199,25 @@ def test_host_stats_update_log_fixpoint(spark, tiny_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_host_re_handles_pathless_urls(spark):
+    """Real crawl URLs often carry no path: the host parse must not
+    require a trailing slash (the old ^https?://([^/]+)/ collapsed every
+    pathless host to '') and must split the port like host_report does."""
+    from ocr_spark.streaming.host_stats import HOST_RE
+
+    df = spark.createDataFrame(
+        [
+            ("http://example.com",),
+            ("https://example.com?q=1",),
+            ("https://h.io:8080/path",),
+            ("http://x.org/",),
+        ],
+        "url string",
+    )
+    got = [r[0] for r in df.select(F.regexp_extract("url", HOST_RE, 1)).collect()]
+    assert got == ["example.com", "example.com", "h.io", "x.org"]
 
 
 def test_streaming_dedup_first_arrival_wins(spark, tmp_path):

@@ -125,10 +125,17 @@ def main() -> None:
 
     spark = build_session("skew-bench", cores=8, shuffle_partitions=32)
     work = tempfile.mkdtemp(prefix="skew_bench_")
-    result = {
-        name: measure(spark, build_skewed_input(spark, work, n), n)
-        for name, n in SCENARIOS.items()
-    }
+    try:
+        result = {
+            name: measure(spark, build_skewed_input(spark, work, n), n)
+            for name, n in SCENARIOS.items()
+        }
+    finally:
+        # ~450 MB of generated skewed parquet per invocation — do not
+        # leak it into /tmp across benchmark iterations
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
     result["measured_at"] = datetime.now(timezone.utc).isoformat(timespec="seconds")
     result["note"] = (
         "unsalted = the default Exchange-free plan (file-granular tasks): "
