@@ -74,14 +74,20 @@ def append_records(records: DataFrame, table: IceliteTable) -> int:
 
 def summarize(records: DataFrame) -> DataFrame:
     """The reference's ``summarizePdfData`` flow, deterministic: per-record
-    metric summary instead of LLM prose (summarize-pdf-data.ts:28-45)."""
+    metric summary instead of LLM prose (summarize-pdf-data.ts:28-45).
+    Fields are coalesced individually: ``F.concat`` propagates nulls, so a
+    record carrying an extraction error (partial fields struct) would get
+    summary=NULL instead of a summary of whatever WAS extracted — the
+    reference still renders per-document output in that case."""
     return records.select(
         "url",
         F.concat(
-            F.lit("classe="), F.col("fields.classe"),
-            F.lit(" cours="), F.col("fields.cours"),
-            F.lit(" présents="), F.col("fields.nombre_des_présents").cast("string"),
-            F.lit(" étudiants="), F.size("fields.présences").cast("string"),
+            F.lit("classe="), F.coalesce(F.col("fields.classe"), F.lit("?")),
+            F.lit(" cours="), F.coalesce(F.col("fields.cours"), F.lit("?")),
+            F.lit(" présents="),
+            F.coalesce(F.col("fields.nombre_des_présents").cast("string"), F.lit("?")),
+            F.lit(" étudiants="),
+            F.coalesce(F.size("fields.présences").cast("string"), F.lit("?")),
         ).alias("summary"),
     )
 

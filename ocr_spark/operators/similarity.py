@@ -43,7 +43,12 @@ def cosine_topk(
     """Exact top-k by cosine similarity to ``query`` (JVM-side, no UDF)."""
     qn = math.sqrt(sum(x * x for x in query)) or 1.0
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    cos = _dot_lit(vec, query) / (_norm_col(vec) * F.lit(qn))
+    # a zero-norm row (empty/failed doc embedding) must rank last (cos 0),
+    # not abort the query: Spark 4 ANSI raises DIVIDE_BY_ZERO — guard the
+    # row norm exactly like qn's `or 1.0` guard above
+    norm = _norm_col(vec)
+    denom = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm) * F.lit(qn)
+    cos = _dot_lit(vec, query) / denom
     return (
         df.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
@@ -185,6 +190,17 @@ def materialize_ivf_index(
             raise ValueError(
                 f"index at {table.root} has {len(cents)} lists, requested "
                 f"{n_lists} — drop the table to rebuild"
+            )
+        # fingerprint the CORPUS the index covers, same convention as the
+        # minhash signature tables: a drifted df (vectors appended since
+        # the build) must refuse reuse, not silently probe an index that
+        # is missing the new vectors
+        n_df, n_tbl = df.count(), table.row_count()
+        if n_df != n_tbl:
+            raise ValueError(
+                f"index at {table.root} covers {n_tbl} vectors but the "
+                f"input has {n_df} — the corpus drifted since the build; "
+                "drop the table to rebuild"
             )
         return table.read(spark), cents
     indexed, cents = build_ivf_index(df, n_lists, id_col, vec_col, sample_rows)

@@ -38,6 +38,18 @@ class ExtractionPipeline:
         *bytes*, and spark.speculation covers stragglers.  Set ``salt>0``
         only for pathological host skew — it buys smaller tasks at the cost
         of shuffling the raw html (the one thing a 100 TB run must avoid)."""
+        # the OUTPUT layout must align with the pipeline's bucket groups,
+        # same as the input check in _group_input: merging group [0..3]
+        # into a table with a different n_buckets/key would scatter rows
+        # into buckets the merge's touched_buckets anti-join never covers —
+        # duplicate keys on resume instead of exactly-once
+        if out_table.key_col != "url" or out_table.n_buckets != n_buckets:
+            raise ValueError(
+                f"output table is keyed ({out_table.key_col!r}, "
+                f"{out_table.n_buckets} buckets), pipeline expects ('url', "
+                f"{n_buckets}) — merge groups would not align with the "
+                "table's buckets"
+            )
         self.out = out_table
         self.n_buckets = n_buckets
         self.group_size = group_size

@@ -181,15 +181,21 @@ class IceliteTable:
             s = self.snapshot(s.parent_id) if s.parent_id is not None else None
         return list(reversed(out))
 
-    def _commit(self, snap: Snapshot) -> None:
-        """The atomic commit point (manifest fsync + HEAD os.replace)."""
-        os.makedirs(os.path.join(self.root, "_snapshots"), exist_ok=True)
+    def _write_manifest(self, snap: Snapshot) -> None:
+        """fsync'd atomic manifest write — EVERY manifest rewrite must go
+        through this (a crash after a non-fsync'd os.replace can leave a
+        zero-length manifest that bricks the whole snapshot chain)."""
         tmp = self._snap_path(snap.snapshot_id) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(snap.to_json())
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._snap_path(snap.snapshot_id))
+
+    def _commit(self, snap: Snapshot) -> None:
+        """The atomic commit point (manifest fsync + HEAD os.replace)."""
+        os.makedirs(os.path.join(self.root, "_snapshots"), exist_ok=True)
+        self._write_manifest(snap)
         head_tmp = self._head_path + f".tmp-{uuid.uuid4().hex}"
         with open(head_tmp, "w") as f:
             f.write(str(snap.snapshot_id))
@@ -336,8 +342,14 @@ class IceliteTable:
         old_paths = [p for b in touched for p in start_head.files.get(b, [])]
         if old_paths:
             old = spark.read.parquet(*[os.path.join(self.root, p) for p in old_paths])
+            # no forced broadcast on the key set: a bucket-group merge at
+            # the 100 TB design point carries ~10^8 distinct keys (multi-GB
+            # — over Spark's broadcast hard limit and the driver heap);
+            # AQE upgrades the anti-join to broadcast at runtime whenever
+            # the key relation is actually small, so the hint only removed
+            # the planner's ability to fall back
             keep = old.join(
-                F.broadcast(incoming.select(self.key_col).distinct()),
+                incoming.select(self.key_col).distinct(),
                 self.key_col,
                 "left_anti",
             )
@@ -345,6 +357,16 @@ class IceliteTable:
         else:
             combined = incoming.drop(BUCKET_COL)
         files, file_rows = self._write_data(combined, f"w-{uuid.uuid4().hex[:12]}")
+        stray = sorted(set(files) - set(touched))
+        if stray:
+            # under-covering touched_buckets would APPEND these buckets'
+            # rows without anti-joining their old keys — duplicate keys,
+            # silently; surface it as a typed layout error instead
+            raise IceliteError(
+                f"merge wrote buckets {stray} outside touched_buckets "
+                f"{sorted(touched)} — the caller's bucket set under-covers "
+                "the incoming batch"
+            )
 
         with self._lock:
             head = self.snapshot()
@@ -410,10 +432,7 @@ class IceliteTable:
         with self._lock:
             snap = self.snapshot(sid)
             snap.metadata.update(updates)
-            tmp = self._snap_path(sid) + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                f.write(snap.to_json())
-            os.replace(tmp, self._snap_path(sid))
+            self._write_manifest(snap)
 
     # ----------------------------------------------------------- maintenance
     def compact(self, spark: SparkSession, max_files_per_bucket: int = 1) -> int | None:
@@ -421,33 +440,50 @@ class IceliteTable:
         ``max_files_per_bucket`` is rewritten into one file.  Content is
         unchanged (same rows, new layout) — the lakehouse maintenance op
         that keeps scan task counts proportional to data, not to commit
-        history.  Returns the new snapshot id, or None if nothing to do."""
-        head = self.snapshot()
-        if head is None:
+        history.  Returns the new snapshot id, or None if nothing to do.
+
+        Concurrency follows merge(): the rewrite runs against the starting
+        head outside the lock, then the commit re-reads the head under the
+        lock and raises a commit conflict if any compacted bucket changed —
+        committing against the stale head would silently drop a concurrent
+        writer's files from the table view."""
+        start_head = self.snapshot()
+        if start_head is None:
             return None
-        fat = {b: ps for b, ps in head.files.items() if len(ps) > max_files_per_bucket}
+        fat = {
+            b: ps for b, ps in start_head.files.items() if len(ps) > max_files_per_bucket
+        }
         if not fat:
             return None
-        sid = head.snapshot_id + 1
         paths = [os.path.join(self.root, p) for ps in fat.values() for p in ps]
         rewritten = spark.read.parquet(*paths)
         files, file_rows = self._write_data(rewritten, f"compact-{uuid.uuid4().hex[:12]}")
-        new_files = {b: list(ps) for b, ps in head.files.items() if b not in fat}
-        new_rows = {p: head.file_rows[p] for ps in new_files.values() for p in ps}
-        for b, ps in files.items():
-            new_files.setdefault(b, []).extend(ps)
-            for p in ps:
-                new_rows[p] = file_rows[p]
-        self._commit(
-            Snapshot(
-                sid,
-                head.snapshot_id,
-                "compact",
-                new_files,
-                new_rows,
-                {"compacted_buckets": sorted(fat)},
+        with self._lock:
+            head = self.snapshot()
+            if head.snapshot_id != start_head.snapshot_id:
+                for b in fat:
+                    if head.files.get(b, []) != start_head.files.get(b, []):
+                        raise CommitConflictError(
+                            f"icelite commit conflict: bucket {b} changed "
+                            "under a concurrent compact"
+                        )
+            sid = head.snapshot_id + 1
+            new_files = {b: list(ps) for b, ps in head.files.items() if b not in fat}
+            new_rows = {p: head.file_rows[p] for ps in new_files.values() for p in ps}
+            for b, ps in files.items():
+                new_files.setdefault(b, []).extend(ps)
+                for p in ps:
+                    new_rows[p] = file_rows[p]
+            self._commit(
+                Snapshot(
+                    sid,
+                    head.snapshot_id,
+                    "compact",
+                    new_files,
+                    new_rows,
+                    {"compacted_buckets": sorted(fat)},
+                )
             )
-        )
         return sid
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
@@ -468,17 +504,17 @@ class IceliteTable:
             if os.path.exists(full):
                 os.remove(full)
         # unlink history: oldest kept snapshot becomes the chain root
-        root_snap = keep[0]
-        root_snap.parent_id = None
-        tmp = self._snap_path(root_snap.snapshot_id) + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(root_snap.to_json())
-        os.replace(tmp, self._snap_path(root_snap.snapshot_id))
-        for s in drop:
-            try:
-                os.remove(self._snap_path(s.snapshot_id))
-            except FileNotFoundError:
-                pass
+        # (under the commit lock — a concurrent _commit must not interleave
+        # with the chain rewrite)
+        with self._lock:
+            root_snap = keep[0]
+            root_snap.parent_id = None
+            self._write_manifest(root_snap)
+            for s in drop:
+                try:
+                    os.remove(self._snap_path(s.snapshot_id))
+                except FileNotFoundError:
+                    pass
         return sorted(doomed)
 
     def remove_orphan_files(self, older_than_s: float = 0.0) -> list[str]:

@@ -67,10 +67,15 @@ def parse_warc_bytes(
     sidecar: pre-extracted plain text, no HTTP envelope) — the utf-8 text
     lands in the ``text`` column (the wet-normalize branch's input)."""
     if payload[:2] == b"\x1f\x8b":  # gzip (possibly multi-member)
+        import zlib
+
         try:
             payload = gzip.GzipFile(fileobj=io.BytesIO(payload)).read()
-        except (OSError, EOFError):
-            return [], 1  # corrupt container counts as one bad record
+        except (OSError, EOFError, zlib.error):
+            # corrupt container counts as one bad record — zlib.error is
+            # NOT an OSError: a valid magic with a corrupt deflate stream
+            # raised straight through the old clause
+            return [], 1
     rows: list[dict] = []
     bad = 0
     pos = 0
@@ -135,7 +140,9 @@ def parse_warc_bytes(
             bad += 1
             continue
         http_headers = _parse_headers(body[:http_end])
-        ctype = http_headers.get(b"content-type", b"")
+        # header VALUES are case-insensitive too (names are lowercased in
+        # _parse_headers): real servers emit 'Text/HTML; charset=...'
+        ctype = http_headers.get(b"content-type", b"").lower()
         if b"text/html" not in ctype:
             continue
         rows.append(
@@ -179,8 +186,14 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     return _read_container(spark, path, "wet", "*.wet*")
 
 
-def warc_lineage(spark: SparkSession, path: str) -> DataFrame:
-    """Per-file record counts + bad-record counter (lineage side-channel)."""
+def warc_lineage(spark: SparkSession, path: str, mode: str = "warc") -> DataFrame:
+    """Per-file record counts + bad-record counter (lineage side-channel).
+    ``mode='wet'`` covers the conversion sidecars too — without it a
+    corrupt .wet.gz is indistinguishable from an empty one (read_wet
+    yields zero rows either way; this channel is where the difference
+    shows)."""
+    if mode not in ("warc", "wet"):
+        raise ValueError(f"mode must be 'warc' or 'wet', got {mode!r}")
     schema = T.StructType(
         [
             T.StructField("warc_file", T.StringType(), False),
@@ -193,9 +206,10 @@ def warc_lineage(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
-                ok, bad = parse_warc_bytes(bytes(content), p)
+                ok, bad = parse_warc_bytes(bytes(content), p, mode)
                 rows.append({"warc_file": p, "n_pages": len(ok), "n_bad_records": bad})
             yield pd.DataFrame(rows, columns=["warc_file", "n_pages", "n_bad_records"])
 
-    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.warc*").load(path)
+    glob = "*.warc*" if mode == "warc" else "*.wet*"
+    files = spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
     return files.select("path", "content").mapInPandas(fn, schema)

@@ -35,6 +35,12 @@ def test_parse_warc_basic():
     ]
     assert bad == 0
     assert rows[0]["warc_ts"].year == 2025
+    # HTTP header VALUES are case-insensitive: real servers emit Text/HTML
+    mixed = _record(
+        b"response", b"http://a/4", _http(b"<p>up</p>", b"Text/HTML; charset=utf-8")
+    )
+    rows, bad = parse_warc_bytes(mixed, "f")
+    assert [(r["url"], r["html"]) for r in rows] == [("http://a/4", b"<p>up</p>")]
 
 
 def test_parse_warc_malformed_counted_not_fatal():
@@ -69,6 +75,27 @@ def test_warc_lineage(spark, tiny_dir):
     lin = warc_lineage(spark, f"{tiny_dir}/warc").collect()
     assert len(lin) == 4  # one row per container file
     assert sum(r["n_pages"] for r in lin) == 100
+
+
+def test_wet_lineage(spark, tiny_dir, tmp_path):
+    """mode='wet' gives the conversion sidecars the same bad-record
+    channel: a corrupt .wet.gz shows n_bad_records > 0 instead of being
+    indistinguishable from an empty file."""
+    import os
+    import shutil
+
+    lin = warc_lineage(spark, f"{tiny_dir}/wet", mode="wet").collect()
+    assert len(lin) > 0 and sum(r["n_pages"] for r in lin) > 0
+    assert all(r["n_bad_records"] == 0 for r in lin)
+    wdir = tmp_path / "wet"
+    wdir.mkdir()
+    src = sorted(f"{tiny_dir}/wet/{f}" for f in os.listdir(f"{tiny_dir}/wet"))[0]
+    shutil.copy(src, wdir / "ok.wet.gz")
+    (wdir / "corrupt.wet.gz").write_bytes(b"\x1f\x8b\x08" + b"\x00" * 20)
+    lin2 = {r["warc_file"].rsplit("/", 1)[-1]: r for r in warc_lineage(spark, str(wdir), mode="wet").collect()}
+    assert lin2["ok.wet.gz"]["n_bad_records"] == 0 and lin2["ok.wet.gz"]["n_pages"] > 0
+    assert lin2["corrupt.wet.gz"]["n_pages"] == 0
+    assert lin2["corrupt.wet.gz"]["n_bad_records"] == 1
 
 def test_wet_roundtrip_byte_identical(spark, tiny_dir):
     """The WET sidecar (conversion records) reads back to exactly the
