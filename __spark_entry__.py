@@ -881,17 +881,16 @@ def _lang_id_oracle() -> str:
 # mirroring ocr_spark/operators/corpus_filter.py rule order 1:1
 _CF_RULES_SQL = r"""
               SELECT doc_id,
-                CASE WHEN length(text) < 60 THEN 'too_short'
+                CASE WHEN text IS NULL THEN 'null_text'
+                     WHEN length(text) < 60 THEN 'too_short'
                      WHEN length(text) > 1000000 THEN 'too_long'
                      WHEN round(len(regexp_extract_all(text, '[.,;:!?]'))
                            / greatest(length(text), 1), 6) > 0.2 THEN 'punct_ratio'
                      WHEN round(length(regexp_replace(text, '\s+', '', 'g'))
-                           / greatest(CASE WHEN trim(text) = '' THEN 0
-                                      ELSE len(string_split_regex(trim(text), '\s+')) END, 1), 6)
+                           / greatest(len(regexp_extract_all(text, '\S+')), 1), 6)
                           > 14.0 THEN 'word_len'
                      WHEN len(regexp_extract_all(text, '#|\.\.\.|…'))
-                           / greatest(CASE WHEN trim(text) = '' THEN 0
-                                      ELSE len(string_split_regex(trim(text), '\s+')) END, 1)
+                           / greatest(len(regexp_extract_all(text, '\S+')), 1)
                           > 0.1 THEN 'symbol_ratio'
                      WHEN len(list_filter(string_split(text, chr(10)),
                               l -> regexp_matches(ltrim(l), '^[•\-\*]')))
@@ -906,7 +905,7 @@ _CF_RULES_SQL = r"""
                            / greatest(len(string_split(text, chr(10))), 1)
                           > 0.3 THEN 'dup_lines'
                      WHEN len(list_intersect(
-                              list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+                              list_distinct(regexp_extract_all(lower(text), '\S+')),
                               ['the','be','to','of','and','that','have','with','a','in']))
                           < 2 THEN 'gopher_stopwords'
                 END AS rule_fail,
@@ -1098,7 +1097,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM m
             )
             SELECT lang, n_docs,
-                   'lang=' || lang || ': extracted ' || CAST(n_docs AS VARCHAR)
+                   'lang=' || coalesce(lang, '?') || ': extracted ' || CAST(n_docs AS VARCHAR)
                    || ' docs (' || CAST(n_errors AS VARCHAR) || ' errors, '
                    || CAST(CAST(FLOOR(pct_bp / 100.0) AS BIGINT) AS VARCHAR) || '.'
                    || lpad(CAST(pct_bp % 100 AS VARCHAR), 2, '0') || '%), '
@@ -1157,7 +1156,7 @@ def oracle_sql() -> dict[str, str]:
                      WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
                      ELSE hostport END AS host,
                 CASE WHEN rest = '' THEN '/'
-                     ELSE regexp_replace(rest, '(.)/$', '\1') END AS path,
+                     ELSE regexp_replace(rest, '(.)/+$', '\1') END AS path,
                 list_sort(list_filter(string_split(query, '&'),
                     p -> p != ''
                          AND NOT p LIKE 'utm\_%' ESCAPE '\'
@@ -1413,9 +1412,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": r"""
             WITH n AS (
               SELECT doc_id,
-                     CAST(CASE WHEN trim(text) = '' THEN 0
-                               ELSE len(string_split_regex(trim(text), '\s+'))
-                          END AS BIGINT) AS n_tokens
+                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                         AS n_tokens
               FROM documents
             )
             SELECT doc_id, n_tokens,
@@ -1494,9 +1492,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats": r"""
             SELECT doc_id,
-                   CAST(CASE WHEN trim(text) = '' THEN 0
-                             ELSE len(string_split_regex(trim(text), '\s+'))
-                        END AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                       AS n_tokens,
                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
                         AS BIGINT) AS n_subwords
             FROM documents
@@ -1507,12 +1504,10 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(length(text), 1), 6) AS punct_ratio,
                    round(len(regexp_extract_all(text,
                          '(?i)\b(the|of|and|to|in|a|is|that|it|for)\b'))
-                         / greatest(CASE WHEN trim(text) = '' THEN 0
-                                    ELSE len(string_split_regex(trim(text), '\s+')) END, 1),
+                         / greatest(len(regexp_extract_all(text, '\S+')), 1),
                          6) AS stopword_ratio,
                    round(length(regexp_replace(text, '\s+', '', 'g'))
-                         / greatest(CASE WHEN trim(text) = '' THEN 0
-                                    ELSE len(string_split_regex(trim(text), '\s+')) END, 1),
+                         / greatest(len(regexp_extract_all(text, '\S+')), 1),
                          6) AS mean_word_len
             FROM documents
         """,

@@ -81,28 +81,44 @@ def corpus_filter(
     r = {**DEFAULT_RULES, **(rules or {})}
     q = with_gopher_quality(with_quality(df, text_col), text_col)
     n_chars = F.length(F.col(text_col))
-    rule_fail = (
-        F.when(n_chars < r["min_chars"], F.lit("too_short"))
-        .when(n_chars > r["max_chars"], F.lit("too_long"))
-        .when(F.col("punct_ratio") > r["max_punct_ratio"], F.lit("punct_ratio"))
-        .when(F.col("stopword_ratio") < r["min_stopword_ratio"], F.lit("stopword_ratio"))
-        .when(F.col("mean_word_len") > r["max_mean_word_len"], F.lit("word_len"))
-        .when(
-            F.col("symbol_word_ratio") > r["max_symbol_word_ratio"], F.lit("symbol_ratio")
+    # the NULL rule comes FIRST: every later comparison over NULL text
+    # evaluates to NULL, so without it null-text docs (extraction-error
+    # rows) fell through the entire when-chain with rule_fail=NULL and
+    # leaked into the cleaned corpus as 'kept'.  The stopword_ratio rule
+    # participates only when its threshold is positive (the default 0.0
+    # can never fire since the ratio is >= 0, and the driver oracle CTE
+    # mirrors the ACTIVE rule set).
+    conds: list = [
+        (F.col(text_col).isNull(), "null_text"),
+        (n_chars < r["min_chars"], "too_short"),
+        (n_chars > r["max_chars"], "too_long"),
+        (F.col("punct_ratio") > r["max_punct_ratio"], "punct_ratio"),
+    ]
+    if r["min_stopword_ratio"] > 0:
+        conds.append(
+            (F.col("stopword_ratio") < r["min_stopword_ratio"], "stopword_ratio")
         )
-        .when(
-            F.col("bullet_line_ratio") > r["max_bullet_line_ratio"], F.lit("bullet_lines")
-        )
-        .when(
+    conds += [
+        (F.col("mean_word_len") > r["max_mean_word_len"], "word_len"),
+        (F.col("symbol_word_ratio") > r["max_symbol_word_ratio"], "symbol_ratio"),
+        (F.col("bullet_line_ratio") > r["max_bullet_line_ratio"], "bullet_lines"),
+        (
             F.col("ellipsis_line_ratio") > r["max_ellipsis_line_ratio"],
-            F.lit("ellipsis_lines"),
-        )
-        .when(F.col("dup_line_ratio") > r["max_dup_line_ratio"], F.lit("dup_lines"))
-        .when(
+            "ellipsis_lines",
+        ),
+        (F.col("dup_line_ratio") > r["max_dup_line_ratio"], "dup_lines"),
+        (
             F.col("n_gopher_stopwords") < r["min_gopher_stopwords"],
-            F.lit("gopher_stopwords"),
+            "gopher_stopwords",
+        ),
+    ]
+    rule_fail = None
+    for cond, label in conds:
+        rule_fail = (
+            F.when(cond, F.lit(label))
+            if rule_fail is None
+            else rule_fail.when(cond, F.lit(label))
         )
-    )
     staged = q.withColumn("_rule_fail", rule_fail)
     if langs is not None:
         staged = with_lang_id(staged, text_col).withColumn(

@@ -233,10 +233,10 @@ def pack_sequences(
     per-doc window partitions by, so the corpus shuffles exactly once and
     the join reuses that exchange.  Output: (id, n_tokens, start_tok,
     seq_no)."""
+    from ocr_spark.operators.textstats_ops import _n_ws_tokens
+
     t = F.col(text_col)
-    n_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(t), r"\s+"))
-    ).cast("bigint")
+    n_tokens = _n_ws_tokens(t).cast("bigint")
     with_n = df.select(
         F.col(id_col), n_tokens.alias("n_tokens"),
         (F.col(id_col) / chunk).cast("bigint").alias("_chunk"),

@@ -203,7 +203,14 @@ def _glyph_scan_ranges(path: str, target_bytes: int) -> list[tuple[str, int, int
         md = pq.ParquetFile(f).metadata
         start, acc = 0, 0
         for i in range(md.num_row_groups):
-            acc += md.row_group(i).total_byte_size
+            # same unit as the os.path.getsize gate above: COMPRESSED
+            # bytes (total_byte_size is uncompressed, 3-4x larger for
+            # these numeric columns — mixing units made task sizing jump
+            # discontinuously at the whole-file threshold)
+            rg = md.row_group(i)
+            acc += sum(
+                rg.column(j).total_compressed_size for j in range(rg.num_columns)
+            )
             if acc >= target_bytes:
                 ranges.append((f, start, i + 1))
                 start, acc = i + 1, 0
@@ -230,6 +237,22 @@ def _codepoints(col) -> np.ndarray:
         s = buf.to_pybytes().decode("utf-8") if buf is not None else ""
         cps = np.frombuffer(s.encode("utf-32-le"), dtype="<u4")
         if len(cps) != len(arr):
+            raise ValueError("glyph ch column must be single-code-point chars")
+        # the aggregate count alone is not enough: an empty-string glyph
+        # balanced by a 2-code-point one passes it while mis-mapping every
+        # subsequent glyph — validate PER ELEMENT (code points per element
+        # = non-continuation utf-8 bytes between consecutive offsets)
+        import pyarrow as pa
+
+        odt = "<i8" if pa.types.is_large_string(arr.type) else "<i4"
+        off = np.frombuffer(arr.buffers()[1], dtype=odt, count=len(arr) + 1)
+        data = (
+            np.frombuffer(buf, dtype=np.uint8)
+            if buf is not None
+            else np.empty(0, np.uint8)
+        )
+        cum = np.concatenate(([0], np.cumsum((data & 0xC0) != 0x80)))
+        if not np.all(cum[off[1:]] - cum[off[:-1]] == 1):
             raise ValueError("glyph ch column must be single-code-point chars")
         out.append(cps)
     return out[0] if len(out) == 1 else np.concatenate(out)

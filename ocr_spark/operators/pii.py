@@ -88,11 +88,13 @@ def pii_oracle_sql(corpus_rel: str, text_col: str = "text") -> str:
     cannot drift apart pattern-by-pattern."""
     esc = lambda p: p.replace("'", "''")  # noqa: E731
     e, i, p = esc(EMAIL_RE), esc(IPV4_RE), esc(PHONE_RE)
+    # coalesce mirrors redact_pii's NULL-text-counts-as-zero: without it a
+    # NULL text row yields NULL counts on the oracle side only
     return f"""
         SELECT doc_id,
-               CAST(len(regexp_extract_all({text_col}, '{e}')) AS BIGINT) AS n_emails,
-               CAST(len(regexp_extract_all({text_col}, '{i}')) AS BIGINT) AS n_ipv4,
-               CAST(len(regexp_extract_all({text_col}, '{p}')) AS BIGINT) AS n_phones,
+               CAST(coalesce(len(regexp_extract_all({text_col}, '{e}')), 0) AS BIGINT) AS n_emails,
+               CAST(coalesce(len(regexp_extract_all({text_col}, '{i}')), 0) AS BIGINT) AS n_ipv4,
+               CAST(coalesce(len(regexp_extract_all({text_col}, '{p}')), 0) AS BIGINT) AS n_phones,
                regexp_replace(
                  regexp_replace(
                    regexp_replace({text_col}, '{e}', '{EMAIL_TOKEN}', 'g'),

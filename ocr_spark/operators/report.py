@@ -54,7 +54,10 @@ def extraction_summary(extracted: DataFrame) -> DataFrame:
         F.col("n_docs"),
         F.concat(
             F.lit("lang="),
-            F.col("lang"),
+            # F.concat null-propagates: lang is nullable in the pages
+            # schema, and an un-coalesced NULL group nulled its ENTIRE
+            # summary sentence (the docstring promises a total function)
+            F.coalesce(F.col("lang"), F.lit("?")),
             F.lit(": extracted "),
             F.col("n_docs").cast("string"),
             F.lit(" docs ("),

@@ -21,6 +21,17 @@ from ocr_spark.functions import textstats as K
 # ---------------------------------------------------------------------------
 # JVM-side (oracle-matchable)
 # ---------------------------------------------------------------------------
+def _n_ws_tokens(t):
+    """THE whitespace token COUNT spec (shared by token_stats, the quality
+    ratios' denominators, and pack_sequences; mirrored in every DuckDB
+    oracle as ``len(regexp_extract_all(text, '\\S+'))``): maximal \\S+
+    runs.  NOT trim+split — ``trim`` strips only ASCII spaces, so a text
+    ending in '\\n' or starting with '\\t' grew phantom empty tokens that
+    deflated every ratio.  The word-GRAM spec (exploded_word_ngrams) is a
+    separate frozen spec and deliberately unchanged."""
+    return F.size(F.regexp_extract_all(t, F.lit(r"\S+"), 0))
+
+
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + a BPE-ish subword proxy (codegen, no UDF).
 
@@ -31,9 +42,7 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return df.withColumn(
         "n_tokens",
-        F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
-            F.size(F.split(F.trim(t), r"\s+"))
-        ),
+        _n_ws_tokens(t),
     ).withColumn(
         "n_subwords",
         F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)),
@@ -44,9 +53,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality signals (codegen)."""
     t = F.col(text_col)
     n_chars = F.length(t)
-    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(t), r"\s+"))
-    )
+    n_words = _n_ws_tokens(t)
     n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[.,;:!?]"), 0))
     stop = r"(?i)\b(the|of|and|to|in|a|is|that|it|for)\b"
     n_stop = F.size(F.regexp_extract_all(t, F.lit(stop), 0))
@@ -80,15 +87,13 @@ def with_gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     lines starting with a bullet, fraction of lines ending in an ellipsis,
     and the count of DISTINCT required stopwords present."""
     t = F.col(text_col)
-    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(t), r"\s+"))
-    )
+    n_words = _n_ws_tokens(t)
     n_symbols = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\.|…"), 0))
     lines = F.split(t, "\n")
     n_lines = F.size(lines)
     bullet = F.size(F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[•\-\*]")))
     ellipsis = F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
-    toks = F.array_distinct(F.split(F.lower(F.trim(t)), r"\s+"))
+    toks = F.array_distinct(F.regexp_extract_all(F.lower(t), F.lit(r"\S+"), 0))
     stops = F.size(
         F.array_intersect(toks, F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]))
     )

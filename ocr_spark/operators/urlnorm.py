@@ -45,7 +45,10 @@ def canonical_url(col: Column | str) -> Column:
     ).otherwise(hostport)
     rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.when(rest == "", F.lit("/")).otherwise(
-        F.regexp_replace(rest, r"(.)/$", "$1")  # U5: keep a lone "/"
+        # U5: strip ALL trailing slashes (keep a lone "/") — a single-slash
+        # strip was non-idempotent: 'a//' and 'a/' canonicalized to
+        # DIFFERENT keys, splitting the dedup/merge identity
+        F.regexp_replace(rest, r"(.)/+$", "$1")
     )
     query = F.regexp_extract(u, r"\?([^#]*)", 1)
     kept = F.array_sort(

@@ -36,8 +36,16 @@ def salted_repartition(
 ) -> DataFrame:
     """Repartition on (bucket, salt) so hot buckets split into ``salt``
     sub-tasks.  ``salt`` keys derive from a *different* hash seed than the
-    bucket (xxhash64 with seed column trick) so they do not alias."""
-    n = target_partitions or (n_buckets * salt)
+    bucket (xxhash64 with seed column trick) so they do not alias.
+
+    The default partition count is 4x the tuple count: hashing exactly
+    n_buckets*salt distinct (bucket, salt) tuples into that many
+    partitions leaves ~1/e of them empty and co-locates several tuples —
+    a hot bucket's salt shards frequently re-coalesced into ONE task,
+    partially defeating the split.  With 4x head-room singleton placement
+    is the overwhelmingly likely outcome; empty partitions cost a no-op
+    task each."""
+    n = target_partitions or (n_buckets * salt * 4)
     return df.repartition(
         n,
         bucket_expr(key_col, n_buckets),

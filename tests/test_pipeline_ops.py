@@ -1253,10 +1253,50 @@ def test_canonical_url_rules(spark):
         "/relative/path?utm_source=x": "/relative/path?utm_source=x",
         "not a url at all": "not a url at all",
         "://weird": "://weird",
+        # U5 strips ALL trailing slashes: a single-slash strip was
+        # non-idempotent ('a//' -> 'a/' while 'a/' -> 'a' split identities)
+        "https://h.example.com/a//": "https://h.example.com/a",
+        "https://h.example.com/a///": "https://h.example.com/a",
+        "https://h.example.com//": "https://h.example.com/",
     }
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     got = {r["url"]: r["canonical_url"] for r in with_canonical_url(df).collect()}
     assert got == cases, {k: (v, cases[k]) for k, v in got.items() if v != cases[k]}
+
+
+def test_corpus_filter_null_text_rejected(spark):
+    """NULL-text rows (extraction-error docs) must fail the rule battery
+    with reason 'null_text' — every later comparison over NULL evaluates
+    to NULL, so without the leading rule they fell through the whole
+    when-chain and leaked into the cleaned corpus as 'kept'."""
+    from ocr_spark.operators.corpus_filter import corpus_filter
+
+    base = "the cat sat on the mat with a friend and some tea today here now "
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, base * 3)], "doc_id long, text string"
+    )
+    kept, audit = corpus_filter(df, rules={"min_chars": 10})
+    reasons = {r["doc_id"]: (r["keep"], r["reason"]) for r in audit.collect()}
+    assert reasons[1] == (False, "null_text")
+    assert reasons[2] == (False, "null_text")
+    assert reasons[3][0] is True
+    assert [r["doc_id"] for r in kept.collect()] == [3]
+
+
+def test_codepoints_per_element_validation():
+    """_codepoints must reject an empty-string glyph balanced by a
+    multi-code-point one — the aggregate count matches but every later
+    glyph would silently receive the wrong code point."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from ocr_spark.operators.layout_ops import _codepoints
+
+    ok = _codepoints(pa.chunked_array([pa.array(["a", "é", "€"])]))
+    assert list(ok) == [ord("a"), ord("é"), ord("€")]
+    bad = pa.chunked_array([pa.array(["", "é", "x"])])  # 3 cps, 3 els
+    with _pytest.raises(ValueError, match="single-code-point"):
+        _codepoints(bad)
 
 
 def test_gopher_quality_rules(spark):
