@@ -1054,11 +1054,13 @@ def oracle_sql() -> dict[str, str]:
             )) AS json_output
             FROM '{ga}'
         """,
-        "wet_normalize": rf"""
-            SELECT url,
-                   trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS text
-            FROM '{pages}'
-            WHERE trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) != ''
+        # the golden's wet_text is the generator's OWN N2+N4 of adversarial
+        # raw crawl text (NBSP/U+2028 separators, NFD accents) — an ASCII
+        # \s+ regexp or a skipped NFC on the Spark side would mismatch
+        "wet_normalize": f"""
+            SELECT url, wet_text AS text
+            FROM '{gp}'
+            WHERE coalesce(wet_text, '') != ''
         """,
         "ocr_attendance": f"""
             SELECT url, classe, "nombre_des_présents", salle_n,

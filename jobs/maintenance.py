@@ -41,31 +41,65 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--cores", type=int, default=None, help="local mode only")
     args = p.parse_args(argv)
 
+    import os
+
     from pyspark.sql import SparkSession
 
     from ocr_spark.session import build_session
-    from ocr_spark.sources.icelite import IceliteTable
+    from ocr_spark.sources.icelite import (
+        CommitConflictError,
+        IceliteError,
+        IceliteTable,
+        SchemaMismatchError,
+    )
 
-    table = IceliteTable(args.table, key_col="url", n_buckets=args.buckets)
-    if not table.exists():
-        print(f"error: no icelite table at {args.table!r}", file=sys.stderr)
-        raise SystemExit(2)
+    try:
+        # adopt the table's FROZEN layout from _table.json when it exists —
+        # maintenance must work on any table (doc_id-keyed signature
+        # tables, 32-bucket outputs) without the operator re-supplying a
+        # layout that the table already records
+        meta_path = os.path.join(args.table, "_table.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            table = IceliteTable(
+                args.table, key_col=meta["key_col"], n_buckets=meta["n_buckets"]
+            )
+        else:
+            table = IceliteTable(args.table, key_col="url", n_buckets=args.buckets)
+        if not table.exists():
+            print(f"error: no icelite table at {args.table!r}", file=sys.stderr)
+            raise SystemExit(2)
 
-    stats: dict = {"job": "maintenance", "table": args.table}
-    if args.compact:
-        spark = SparkSession.getActiveSession() or build_session(
-            "maintenance", cores=args.cores
-        )
-        sid = table.compact(spark, max_files_per_bucket=args.max_files_per_bucket)
-        stats["compacted_snapshot"] = sid  # None -> nothing to do
-    if args.expire_keep is not None:
-        stats["expired_files"] = len(table.expire_snapshots(keep_last=args.expire_keep))
-    if args.gc_orphans:
-        stats["orphans_removed"] = len(
-            table.remove_orphan_files(older_than_s=args.older_than)
-        )
-    stats["snapshots"] = len(table.snapshots())
-    stats["rows"] = table.row_count()
+        stats: dict = {"job": "maintenance", "table": args.table}
+        if args.compact:
+            spark = SparkSession.getActiveSession() or build_session(
+                "maintenance", cores=args.cores
+            )
+            sid = table.compact(spark, max_files_per_bucket=args.max_files_per_bucket)
+            stats["compacted_snapshot"] = sid  # None -> nothing to do
+        if args.expire_keep is not None:
+            stats["expired_files"] = len(
+                table.expire_snapshots(keep_last=args.expire_keep)
+            )
+        if args.gc_orphans:
+            stats["orphans_removed"] = len(
+                table.remove_orphan_files(older_than_s=args.older_than)
+            )
+        stats["snapshots"] = len(table.snapshots())
+        stats["rows"] = table.row_count()
+    # the same exit-code taxonomy as extract_job/dedup_job (CLAUDE.md:
+    # 2 input, 3 conflict, 4 schema/layout) — these escaped as raw
+    # tracebacks with exit 1 before
+    except SchemaMismatchError as e:
+        print(f"error: schema rejected: {e}", file=sys.stderr)
+        raise SystemExit(4) from None
+    except CommitConflictError as e:
+        print(f"error: commit conflict (retryable): {e}", file=sys.stderr)
+        raise SystemExit(3) from None
+    except IceliteError as e:
+        print(f"error: table layout rejected: {e}", file=sys.stderr)
+        raise SystemExit(4) from None
     print(json.dumps(stats))
     return stats
 

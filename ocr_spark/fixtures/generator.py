@@ -62,7 +62,7 @@ def join_blocks(blocks: list[str]) -> tuple[str, list[tuple[str, int, int]]]:
     return "\n".join(normed), spans
 
 SEED = 42
-FORMAT_VERSION = 26  # bump to force regeneration everywhere (v26: real MP4 sample tables + frame-sample goldens)
+FORMAT_VERSION = 27  # bump to force regeneration everywhere (v27: adversarial wet raw text + wet_text golden)
 
 # bench is sized so the extraction stage runs for seconds, not hundreds of
 # milliseconds, at local[32] — otherwise the ~0.3 s fixed job floor (task
@@ -337,9 +337,25 @@ def gen_pages_doc(rng: random.Random, doc_id: int, hosts: list[str]) -> dict:
         html_doc = html_doc[:cut]
 
     golden_text, spans = join_blocks(main_paras) if main_paras else ("", [])
-    raw_text = None
+    # the RAW crawl text is an adversary for the WET branch's N2+N4
+    # normalization: exotic Unicode whitespace separators (NBSP, line/para
+    # separators, ideographic space) and NFD-decomposed accents — a JVM
+    # regexp collapse (\s+ is ASCII-only) or a skipped NFC would diverge
+    # from the wet_text golden computed below
+    raw_text, wet_text = None, None
     if rng.random() < 0.5:
-        raw_text = " ".join(w for p in main_paras for w in p.split()) or None
+        words = [w for p in main_paras for w in p.split()]
+        if words:
+            seps = (" ", "  ", "\u00a0", "\t", " \u2028", "\u2029 ", "\n", "\u3000")
+            parts = [rng.choice(("", "\u00a0", "  ", "\t"))]
+            for w in words:
+                if rng.random() < 0.15:
+                    w = unicodedata.normalize("NFD", w)
+                parts.append(w)
+                parts.append(rng.choice(seps))
+            raw_text = "".join(parts)
+            # N2 (str.split semantics) then N4 (NFC), generator-side
+            wet_text = nfc(" ".join(raw_text.split()))
 
     return {
         "url": url,
@@ -348,6 +364,7 @@ def gen_pages_doc(rng: random.Random, doc_id: int, hosts: list[str]) -> dict:
         "text": raw_text,
         "lang": lang,
         "_golden_text": golden_text,
+        "_wet_text": wet_text,
         "_spans": spans,
         "_n_blocks": len(main_paras),
         "_expect_error": expect_error,
@@ -665,6 +682,9 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
             ),
             "n_blocks": pa.array([d["_n_blocks"] for d in docs], pa.int32()),
             "expect_error": [d["_expect_error"] for d in docs],
+            # N2+N4 of the ADVERSARIAL raw crawl text (NULL when the page
+            # carries none) — the wet-branch golden
+            "wet_text": [d["_wet_text"] for d in docs],
         }
     )
     _write(os.path.join(out_dir, "golden_pages.parquet"), golden)

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import re
 
+from ocr_spark.functions.html_extract import ERR_EMPTY  # one error vocabulary
+
 DEFAULT_FIELDS: dict = {
     "classe": "",
     "cours": "",
@@ -86,16 +88,19 @@ def extract_fields_with_spans(
         k: (list(v) if isinstance(v, list) else v) for k, v in DEFAULT_FIELDS.items()
     }
     if not doc_text or not doc_text.strip():
-        return fields, [], "EMPTY_INPUT"
+        return fields, [], ERR_EMPTY
     found_scalar: set[str] = set()
     presences: list[dict] = []
     spans: list[tuple[str, int, int]] = []
     line_start = 0
-    for line in doc_text.splitlines():
+    # keepends=True gives the TRUE boundary width: a fixed `len(line)+1`
+    # advance shifted every span after a \r\n (or   etc.) boundary
+    for raw in doc_text.splitlines(keepends=True):
+        line = raw.splitlines()[0]  # strip the terminator, whatever it is
         m = _STUDENT_RE.match(line)
         if m:
             presences.append({"n": m.group(1), "nom_prénom": m.group(2)})
-            line_start += len(line) + 1
+            line_start += len(raw)
             continue
         for field, pat in _FIELD_PATTERNS:
             if field in found_scalar:
@@ -105,7 +110,11 @@ def extract_fields_with_spans(
                 value = fm.group(1).strip()
                 if field == "nombre_des_présents":
                     nm = _NUM_RE.search(value)
-                    if nm:
+                    # a digit run beyond int64 is garbled OCR, not a count:
+                    # leave the field defaulted rather than overflow the
+                    # LongType at Arrow conversion (which would abort the
+                    # whole batch against the E6 never-raise contract)
+                    if nm and int(nm.group(0)) <= 0x7FFFFFFFFFFFFFFF:
                         fields[field] = int(nm.group(0))
                         found_scalar.add(field)
                         begin = line_start + fm.start(1) + nm.start()
@@ -117,6 +126,6 @@ def extract_fields_with_spans(
                         begin = line_start + fm.start(1)
                         spans.append((field, begin, begin + len(value)))
                 break
-        line_start += len(line) + 1
+        line_start += len(raw)
     fields["présences"] = presences
     return fields, spans, None

@@ -22,10 +22,16 @@ from __future__ import annotations
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import arrow_udf
 from pyspark.sql.pandas.types import to_arrow_type
 
-from ocr_spark.functions.html_extract import DEFAULT_MAX_HTML_BYTES, extract_html_doc
+from ocr_spark.functions.html_extract import (
+    DEFAULT_MAX_HTML_BYTES,
+    ERR_EMPTY,
+    extract_html_doc,
+)
+from ocr_spark.normalize import collapse_ws, nfc
 from ocr_spark.schemas import EXTRACT_RESULT_TYPE
 
 ENGINE_DOM = "dom"
@@ -57,6 +63,20 @@ def extract_html_udf(html: pa.Array) -> pa.Array:
     return pa.array(rows, type=_RESULT_ARROW_TYPE)
 
 
+@arrow_udf(T.StringType())
+def wet_normalize_udf(text: pa.Array) -> pa.Array:
+    """The REAL N2+N4 kernel over crawl-provided flat text: Unicode
+    whitespace collapse (``str.split`` semantics) then NFC.  A JVM regexp
+    collapse is NOT equivalent — Java/RE2 ``\\s`` is ASCII-only (an NBSP
+    or U+2028 run survives it) and Spark has no NFC builtin — so the old
+    JVM-side wet branch silently violated the frozen byte-identity spec
+    (normalize.py N2/N4) on real crawl text."""
+    return pa.array(
+        [None if t is None else nfc(collapse_ws(t)) for t in text.to_pylist()],
+        type=pa.string(),
+    )
+
+
 def _finalize(df: DataFrame, engine: str) -> DataFrame:
     """Common projection: flatten the kernel struct, default-coalesce (E5)."""
     return df.select(
@@ -77,6 +97,9 @@ def extract_pages(pages: DataFrame, engine: str = "auto") -> DataFrame:
     ``engine='auto'`` routes rows with html through the DOM branch and
     html-less rows with crawl text through the WET pass-through (E4).
     """
+    if engine not in (ENGINE_DOM, ENGINE_WET, "auto"):
+        # a typo'd engine silently fell through to auto dispatch
+        raise ValueError(f"engine must be 'dom', 'wet' or 'auto', got {engine!r}")
     if engine == ENGINE_DOM:
         return _finalize(
             pages.withColumn("_r", extract_html_udf(F.col("html"))), ENGINE_DOM
@@ -94,9 +117,13 @@ def extract_pages(pages: DataFrame, engine: str = "auto") -> DataFrame:
 
 
 def _wet_branch(pages: DataFrame) -> DataFrame:
-    """WET pass-through: normalize the crawl-provided text JVM-side (no UDF
-    needed — regexp whitespace collapse is the whole N2 rule for flat text)."""
-    norm = F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\s+", " "))
+    """WET pass-through: crawl-provided text through the real normalize
+    kernel (see ``wet_normalize_udf``).  The outer coalesce keeps Catalyst
+    from inferring isnotnull(udf(...)) probes that would double-evaluate
+    the UDF (see CLAUDE.md, inferred-notnull trap)."""
+    norm = F.coalesce(
+        wet_normalize_udf(F.coalesce(F.col("text"), F.lit(""))), F.lit("")
+    )
     return pages.select(
         "url",
         "warc_ts",
@@ -106,6 +133,6 @@ def _wet_branch(pages: DataFrame) -> DataFrame:
             "spans"
         ),
         F.when(norm != "", F.lit(1)).otherwise(F.lit(0)).alias("n_blocks"),
-        F.when(norm == "", F.lit("EMPTY_INPUT")).otherwise(F.lit(None).cast("string")).alias("error"),
+        F.when(norm == "", F.lit(ERR_EMPTY)).otherwise(F.lit(None).cast("string")).alias("error"),
         F.lit(ENGINE_WET).alias("engine"),
     )

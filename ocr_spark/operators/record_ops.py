@@ -36,11 +36,18 @@ def coerce_like(value: Column, target_type: str) -> Column:
     if target_type in ("long", "bigint", "int"):
         return value.try_cast("double").try_cast(target_type)  # parseFloat, trunc
     if target_type == "boolean":
-        return value == "true"
+        # coalesce mirrors JS `v === "true"`: a NULL input is false, not
+        # NULL (the bare == null-propagates)
+        return F.coalesce(value == "true", F.lit(False))
     return value.cast("string")
 
 
-def display_value(col: Column) -> Column:
-    """P4 display stringification: objects pretty-printed, scalars as-is
-    (data-editor.tsx:44-51 ``getDisplayValue``)."""
-    return F.to_json(col, {"pretty": "true"})
+def display_value(col: Column, *, complex_type: bool = True) -> Column:
+    """P4 display stringification: objects/arrays pretty-printed via
+    ``to_json`` (the default); scalars as their plain string form
+    (``complex_type=False``) — ``to_json`` accepts only struct/array/map,
+    so the reference's typeof dispatch (data-editor.tsx:44-51
+    ``getDisplayValue``) becomes an explicit caller flag."""
+    if complex_type:
+        return F.to_json(col, {"pretty": "true"})
+    return col.cast("string")

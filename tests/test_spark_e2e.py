@@ -69,9 +69,11 @@ def test_engine_dispatch(spark, tiny_dir):
     engines = {r["engine"]: r["n"] for r in ext.groupBy("engine").agg(F.count("*").alias("n")).collect()}
     assert set(engines) == {"dom", "wet"}
     wet = ext.filter(F.col("engine") == "wet")
-    # wet pass-through equals whitespace-collapsed crawl text
-    src = routed.filter(F.col("html").isNull()).select(
-        "url", F.trim(F.regexp_replace(F.coalesce("text", F.lit("")), r"\s+", " ")).alias("want")
+    # wet output equals the generator's independent N2+N4 golden — the raw
+    # crawl text is ADVERSARIAL (NBSP/U+2028 separators, NFD accents), so
+    # an ASCII-regexp collapse or a skipped NFC fails here
+    src = spark.read.parquet(f"{tiny_dir}/golden_pages.parquet").select(
+        "url", F.coalesce("wet_text", F.lit("")).alias("want")
     )
     assert wet.join(src, "url").filter(F.col("text") != F.col("want")).count() == 0
 
