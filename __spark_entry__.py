@@ -23,6 +23,7 @@ Cross-engine determinism rules used throughout:
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 import zipfile
 from collections.abc import Callable
@@ -44,13 +45,18 @@ def _prep(spark: SparkSession) -> SparkSession:
         return spark
     zip_path = os.path.join(_REPO, "dist", "ocr_spark_pyfiles.zip")
     os.makedirs(os.path.dirname(zip_path), exist_ok=True)
-    with zipfile.ZipFile(zip_path, "w") as z:
+    # write-to-temp + atomic replace: a concurrent session's executors may
+    # be fetching the registered zip while we rebuild it — an in-place
+    # truncating rewrite hands them a torn archive (ImportError on workers)
+    tmp = f"{zip_path}.tmp-{os.getpid()}"
+    with zipfile.ZipFile(tmp, "w") as z:
         pkg = os.path.join(_REPO, "ocr_spark")
         for root, _dirs, files in os.walk(pkg):
             for fn in files:
                 if fn.endswith(".py"):
                     full = os.path.join(root, fn)
                     z.write(full, os.path.relpath(full, _REPO))
+    os.replace(tmp, zip_path)
     try:
         spark.sparkContext.addPyFile(zip_path)
     except Exception:  # noqa: BLE001 — already added or connect-mode: harmless
@@ -132,12 +138,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).parquet(inp)
         out = IceliteTable(os.path.join(work, "table"), key_col="url", n_buckets=8)
         run_stream_once(spark, inp, out, os.path.join(work, "ckpt"))
-        return out.read(spark).select(
+        df = out.read(spark).select(
             "url",
             "text",
             F.col("n_blocks").cast("bigint").alias("n_blocks"),
             F.col("error").isNotNull().alias("has_error"),
         )
+        # materialize (small fixture-sized result), then remove the work
+        # dir — every gate run otherwise leaked a pages copy + table +
+        # checkpoint into /tmp
+        rows = df.collect()
+        shutil.rmtree(work, ignore_errors=True)
+        return spark.createDataFrame(rows, df.schema)
 
     def q_host_stats_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Stateful streaming (applyInPandasWithState) oracle-checked at
@@ -160,12 +172,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         run_host_stats_once(
             spark, inp, os.path.join(work, "updates"), os.path.join(work, "ckpt")
         )
-        return final_host_stats(spark, os.path.join(work, "updates")).select(
+        df = final_host_stats(spark, os.path.join(work, "updates")).select(
             "host",
             F.col("n_docs").cast("bigint").alias("n_docs"),
             F.col("n_errors").cast("bigint").alias("n_errors"),
             F.col("total_chars").cast("bigint").alias("total_chars"),
         )
+        rows = df.collect()
+        shutil.rmtree(work, ignore_errors=True)
+        return spark.createDataFrame(rows, df.schema)
 
     def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         pages = spark.read.parquet(f"{fix}/pages.parquet")
@@ -1115,7 +1130,7 @@ def oracle_sql() -> dict[str, str]:
             FROM '{ga}'
         """,
         "record_update": f"""
-            SELECT url, '999' AS salle_n, CAST(42 AS BIGINT) AS nombre_des_présents,
+            SELECT url, '999' AS salle_n, CAST(42 AS BIGINT) AS "nombre_des_présents",
                    classe
             FROM '{ga}'
         """,

@@ -12,10 +12,14 @@ from __future__ import annotations
 import sys
 import time
 
+import os
+
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, ".")
+# __file__-relative (like bench.py): the gate must run from any CWD, and a
+# stray __spark_entry__.py in the caller's directory must not shadow ours
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from ocr_spark.session import build_session  # noqa: E402
@@ -26,10 +30,7 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: str(v))
-        else:
-            df[c] = df[c].map(lambda v: str(v))
+        df[c] = df[c].map(str)
     return df.sort_values(by=list(df.columns), kind="stable").reset_index(drop=True)
 
 
@@ -37,8 +38,6 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     # signature-sidecar oracles key on the sf tier (sidecars.py)
-    import os
-
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     spark = build_session("oracle-check", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
@@ -47,6 +46,12 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     qs = entry_mod.queries()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must not print a green 'FAILURES: 0' that checked
+        # nothing
+        print(f"FAIL  unknown query names: {sorted(unknown)}")
+        return 1
     oracles = entry_mod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
