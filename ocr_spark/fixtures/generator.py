@@ -62,7 +62,7 @@ def join_blocks(blocks: list[str]) -> tuple[str, list[tuple[str, int, int]]]:
     return "\n".join(normed), spans
 
 SEED = 42
-FORMAT_VERSION = 27  # bump to force regeneration everywhere (v27: adversarial wet raw text + wet_text golden)
+FORMAT_VERSION = 28  # bump to force regeneration everywhere (v28: mid-stream WARC garbage with false-magic bait)
 
 # bench is sized so the extraction stage runs for seconds, not hundreds of
 # milliseconds, at local[32] — otherwise the ~0.3 s fixed job floor (task
@@ -115,18 +115,25 @@ def _host_pool(rng: random.Random, n: int = 50) -> list[str]:
     return [f"site{i:02d}.example.{rng.choice(['com', 'org', 'net'])}" for i in range(n)]
 
 
+_ZIPF_CDF: dict[tuple[int, float], list[float]] = {}
+
+
 def _zipf_host(rng: random.Random, hosts: list[str], s: float = 1.2) -> str:
-    # Zipf(s) over ranks 1..n (deterministic inverse-CDF on rng.random()).
-    n = len(hosts)
-    weights = [1.0 / (r**s) for r in range(1, n + 1)]
-    total = sum(weights)
-    x = rng.random() * total
-    acc = 0.0
-    for i, w in enumerate(weights):
-        acc += w
-        if x <= acc:
-            return hosts[i]
-    return hosts[-1]
+    # Zipf(s) over ranks 1..n (deterministic inverse-CDF on rng.random());
+    # the CDF depends only on (n, s) — cache it instead of recomputing 50
+    # pows per call (once per pages AND corpus doc, 280k calls at bench)
+    import bisect
+
+    key = (len(hosts), s)
+    cdf = _ZIPF_CDF.get(key)
+    if cdf is None:
+        acc, cdf = 0.0, []
+        for r in range(1, len(hosts) + 1):
+            acc += 1.0 / (r**s)
+            cdf.append(acc)
+        _ZIPF_CDF[key] = cdf
+    x = rng.random() * cdf[-1]
+    return hosts[min(bisect.bisect_left(cdf, x), len(hosts) - 1)]
 
 
 def _sentence(rng: random.Random, lang: str, n_words: int) -> str:
@@ -635,7 +642,14 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
     if cfg["glyph_docs"]:
         expected += ["glyphs.parquet", "golden_glyphs.parquet"]
     if cfg["attendance"]:
-        expected += ["attendance_docs.parquet", "golden_attendance.parquet"]
+        expected += [
+            "attendance_docs.parquet",
+            "golden_attendance.parquet",
+            "golden_attendance_spans.parquet",
+            "golden_attendance_rows.parquet",
+            "attendance_glyphs.parquet",
+            "attendance_glyph_docs.parquet",
+        ]
     if cfg["warc_files"]:
         expected += ["warc", "wet"]
     if cfg.get("audio"):
@@ -850,9 +864,15 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
                     buf += _warc_record(
                         b"request", d["url"].encode(), ts, b"GET / HTTP/1.1\r\n\r\n"
                     )
+                if rng.random() < 0.2:  # garbage BETWEEN records, with a
+                    # false 'WARC/' magic bait whose header never parses —
+                    # the reader must resync twice (junk line, then the
+                    # bait's missing content-length) without losing the
+                    # next real record
+                    buf += b"GARBAGE-NOT-A-RECORD\r\n\r\nWARC/oops\r\n\r\n"
                 buf += _warc_record(b"response", d["url"].encode(), ts, http)
-            if rng.random() < 0.5:  # a little garbage between records
-                buf += b"\r\nGARBAGE-NOT-A-RECORD\r\n\r\nWARC/"[:20]
+            if rng.random() < 0.5:  # trailing junk after the last record
+                buf += b"\r\nGARBAGE-NOT-A-RECORD"
             import gzip as _gzip
 
             with open(os.path.join(warc_dir, f"part-{si:03d}.warc.gz"), "wb") as f:

@@ -84,9 +84,14 @@ def ensure_sidecars(sf_dir: str) -> str:
     )
     man_path = os.path.join(out, "_manifest.json")
     want = _manifest(src)
+    sidecar_files = ("minhash.parquet", "simhash.parquet", "kgrams.parquet")
     if os.path.exists(man_path):
         with open(man_path) as f:
-            if json.load(f) == want:
+            # the manifest is written LAST, so it can outlive a partially
+            # deleted cache — it only counts if the files it promises exist
+            if json.load(f) == want and all(
+                os.path.exists(os.path.join(out, s)) for s in sidecar_files
+            ):
                 return out
     os.makedirs(out, exist_ok=True)
 
@@ -131,21 +136,27 @@ def ensure_sidecars(sf_dir: str) -> str:
     )
 
     # ---- winnowing k-gram hash sequences (window ORDER preserved) -------
-    # stored as UBIGINT so the SQL window-min is the kernel's unsigned min
-    kg_doc: list[int] = []
-    kg_pos: list[int] = []
-    kg_hash: list[int] = []
-    for d, text in zip(doc_ids, texts):
-        hs = K.char_shingle_hashes(text, FP_K)
-        kg_doc.extend([d] * hs.size)
-        kg_pos.extend(range(hs.size))
-        kg_hash.extend(int(h) for h in hs)
+    # stored as UBIGINT so the SQL window-min is the kernel's unsigned min.
+    # Batch kernel + flat numpy buffers: the old per-doc scalar loop
+    # accumulated ~n_docs*500 Python ints per column (~28 B each) before
+    # one pa.array conversion — multiple GB at a bench-scale corpus
+    kg = K.char_shingle_hashes_batch(texts, FP_K)
+    sizes = np.fromiter((h.size for h in kg), dtype=np.int64, count=len(kg))
     _write_atomic(
         pa.table(
             {
-                "doc_id": pa.array(kg_doc, pa.int64()),
-                "pos": pa.array(kg_pos, pa.int64()),
-                "hash": pa.array(kg_hash, pa.uint64()),
+                "doc_id": pa.array(
+                    np.repeat(np.asarray(doc_ids, dtype=np.int64), sizes)
+                ),
+                "pos": pa.array(
+                    np.concatenate([np.arange(s, dtype=np.int64) for s in sizes])
+                    if len(sizes)
+                    else np.empty(0, np.int64)
+                ),
+                "hash": pa.array(
+                    np.concatenate(kg) if len(kg) else np.empty(0, np.uint64),
+                    pa.uint64(),
+                ),
             }
         ),
         os.path.join(out, "kgrams.parquet"),

@@ -16,7 +16,9 @@ closing any block-level element flushes it.  Each block records
   - ``text``          (entity-decoded, whitespace-collapsed; normalize.py N1+N2)
   - ``n_words``       word count of ``text``
   - ``anchor_chars``  characters emitted while inside an ``<a>`` element
-  - ``link_density``  anchor_chars / len(raw concatenated text)
+  - ``link_density``  anchor_chars / len(stripped raw concatenated text)
+                      (denominator falls back to the unstripped length for
+                      all-whitespace blocks — ``raw_chars`` in the code)
   - ``depth``         element-stack depth at flush time (tag-path depth)
 
 Classification (frozen v1):

@@ -17,9 +17,12 @@ Frozen layout contract (v1):
       dropped before segmentation.
   L2. Recursive XY-cut on glyph bounding boxes: at each node compute the
       largest horizontal gap (projection onto x) and the largest vertical
-      gap (projection onto y) strictly inside the region.  Cut along the
-      larger gap if it exceeds its threshold (X_GAP_MIN=18pt, Y_GAP_MIN=14pt);
-      ties (exact float equality) prefer the horizontal-gap (column) cut.
+      gap (projection onto y) strictly inside the region.  Cut HORIZONTALLY
+      (columns) when the horizontal gap is >= X_GAP_MIN (18pt) AND >= the
+      vertical gap (ties, exact float equality, prefer the column cut);
+      OTHERWISE cut vertically when the vertical gap is >= Y_GAP_MIN (14pt)
+      — the vertical cut fires on its OWN threshold even when the
+      horizontal gap is numerically larger but under X_GAP_MIN.
       Children are ordered left-before-right / top-before-bottom.
   L3. Leaf regions: glyphs are clustered into lines by baseline (y1):
       sort by y1; a new line starts when y1 jumps by more than
