@@ -57,6 +57,15 @@ def test_extract_plan_is_vectorized_and_narrow(spark, tiny_dir):
     assert "ArrowEvalPython" in plan  # vectorized UDF channel
     assert "BatchEvalPython" not in plan  # no per-row Python
     assert "Exchange" not in plan  # zero shuffles in the extraction stage
+    # wet branch: the normalize UDF feeds THREE projections (text,
+    # n_blocks, error) — pin that Catalyst dedups them to ONE
+    # ArrowEvalPython (the inferred-notnull trap would show up here as 2+)
+    wet = extract_pages(
+        pages.withColumn("html", F.lit(None).cast("binary")), engine="wet"
+    )
+    wplan = wet._jdf.queryExecution().executedPlan().toString()
+    assert wplan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in wplan
 
 
 def test_engine_dispatch(spark, tiny_dir):
