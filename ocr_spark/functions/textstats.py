@@ -432,7 +432,9 @@ _LANG_STOPWORDS: dict[str, frozenset[str]] = {
 
 
 def detect_lang(text: str) -> str:
-    """Best stopword-overlap language, 'und' if nothing matches."""
+    """Best stopword-overlap language, 'und' if nothing matches.  This is
+    the SPEC form; ``detect_lang_batch`` is the bit-identical hot path
+    (enforced by a differential test in tests/test_kernels.py)."""
     words = text.lower().split()
     if not words:
         return "und"
@@ -442,3 +444,38 @@ def detect_lang(text: str) -> str:
         if score > best_score:
             best_lang, best_score = lang, score
     return best_lang
+
+
+# inverted profile table for the batch path: stopword -> indices into the
+# SORTED language list (one dict probe per word instead of 16 set probes)
+_LANGS_SORTED = sorted(_LANG_STOPWORDS)
+_WORD_LANGS: dict[str, list[int]] = {}
+for _li, _lang in enumerate(_LANGS_SORTED):
+    for _w in _LANG_STOPWORDS[_lang]:
+        _WORD_LANGS.setdefault(_w, []).append(_li)
+
+
+def detect_lang_batch(texts: list[str]) -> list[str]:
+    """Vectorized ``detect_lang``: per word ONE inverted-table lookup; the
+    winner is the first maximum over the sorted language order — exactly
+    the scalar loop's strictly-greater tie-break."""
+    import numpy as np
+
+    n_langs = len(_LANGS_SORTED)
+    out = []
+    scores = np.zeros(n_langs, dtype=np.int64)
+    for text in texts:
+        words = text.lower().split()
+        if not words:
+            out.append("und")
+            continue
+        scores[:] = 0
+        get = _WORD_LANGS.get
+        for w in words:
+            idx = get(w)
+            if idx is not None:
+                for i in idx:
+                    scores[i] += 1
+        m = int(scores.max())
+        out.append("und" if m == 0 else _LANGS_SORTED[int(scores.argmax())])
+    return out

@@ -116,7 +116,11 @@ def with_gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 @pandas_udf(T.StringType())
 def detect_lang_udf(text: pd.Series) -> pd.Series:
-    return text.fillna("").map(K.detect_lang)
+    # batch form (one inverted-table probe per word, not 16 set probes) —
+    # bit-identical to the scalar spec, ~10x on stopword-dense docs
+    return pd.Series(
+        K.detect_lang_batch(list(text.fillna(""))), index=text.index
+    )
 
 
 def _to_i64(h: int) -> int:

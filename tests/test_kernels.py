@@ -319,6 +319,33 @@ def test_simhash_batch_matches_per_doc(texts):
         assert int(sb[i]) == K.simhash64(t)
 
 
+@settings(max_examples=120, deadline=None)
+@given(st.lists(_texty, max_size=6))
+def test_detect_lang_batch_matches_spec(texts):
+    """detect_lang_batch (one inverted-table probe per word) must equal the
+    scalar spec loop, including the sorted-order strictly-greater
+    tie-break, on arbitrary text."""
+    from ocr_spark.functions import textstats as K
+
+    assert K.detect_lang_batch(texts) == [K.detect_lang(t) for t in texts]
+
+
+def test_detect_lang_batch_stopword_ties():
+    """Handpicked tie-breaks: words shared by several language profiles
+    must pick the alphabetically-first language with the max score (the
+    scalar loop's strictly-greater rule)."""
+    from ocr_spark.functions import textstats as K
+
+    cases = [
+        "de la en",          # shared es/fr stopwords
+        "in a is the",       # en
+        "",                  # und
+        "zzz qqq xxx",       # no stopwords -> und
+        "de de de",          # 'de' appears in several profiles
+    ]
+    assert K.detect_lang_batch(cases) == [K.detect_lang(t) for t in cases]
+
+
 def test_classify_main_two_sweeps_equal_fixpoint_loop():
     """The O(n) forward+backward flood fill must equal the C2 while-changed
     fixpoint on every fusable/main configuration (hypothesis sweep +
