@@ -228,6 +228,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("s.end").alias("span_end"),
         )
 
+    def q_pdf_glyphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Engine A's BYTE layer: raw PDF bytes -> glyph boxes via the
+        stdlib parser (functions/pdf.py P1-P8).  A hash match against the
+        generator's parameter-derived golden proves the parse is
+        bit-identical (xref walk, FlateDecode, content-stream replay,
+        standard-14 advance arithmetic)."""
+        from ocr_spark.operators.pdf_ops import pdf_to_glyphs
+
+        docs = spark.read.parquet(f"{fix}/pdf_docs.parquet")
+        return (
+            pdf_to_glyphs(docs)
+            .filter(F.col("error").isNull())
+            .select(
+                "doc_id",
+                F.col("page").cast("bigint").alias("page"),
+                "glyph_id", "ch", "x0", "y0", "x1", "y1",
+            )
+        )
+
+    def q_pdf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The full engine-A front door from raw bytes: PDF -> glyphs ->
+        XY-cut reading-order text (L1-L4), fused in one zero-Exchange
+        pass."""
+        from ocr_spark.operators.pdf_ops import pdf_to_page_text
+
+        docs = spark.read.parquet(f"{fix}/pdf_docs.parquet")
+        return (
+            pdf_to_page_text(docs)
+            .filter(F.col("error").isNull())
+            .select("doc_id", F.col("page").cast("bigint").alias("page"), "text")
+        )
+
+    def q_pdf_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-document error taxonomy (E6): one row per input doc, the
+        planted corruption's code or NULL — oracle is the generator's own
+        expectation table."""
+        from ocr_spark.operators.pdf_ops import pdf_to_glyphs
+
+        docs = spark.read.parquet(f"{fix}/pdf_docs.parquet")
+        return (
+            pdf_to_glyphs(docs)
+            .groupBy("doc_id")
+            .agg(F.max("error").alias("error"))
+        )
+
     def q_attendance_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spark.read.parquet(f"{fix}/attendance_docs.parquet")
         r = attendance_records(docs)
@@ -781,6 +826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_layout": q_extract_layout,
         "extract_layout_pyscan": q_extract_layout_pyscan,
         "layout_doc_spans": q_layout_doc_spans,
+        "pdf_glyphs": q_pdf_glyphs,
+        "pdf_layout": q_pdf_layout,
+        "pdf_errors": q_pdf_errors,
         "attendance_fields": q_attendance_fields,
         "attendance_explode": q_attendance_explode,
         "attendance_spans": q_attendance_spans,
@@ -1042,6 +1090,21 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ), 0) + length(text) AS BIGINT) AS span_end
             FROM '{gg}'
+        """,
+        # PDF byte layer vs the generator's parameter-derived goldens: a
+        # hash match on the double coordinates proves the parse replays the
+        # content stream bit-identically (P7 pinned arithmetic)
+        "pdf_glyphs": f"""
+            SELECT doc_id, CAST(page AS BIGINT) AS page, glyph_id, ch,
+                   x0, y0, x1, y1
+            FROM '{fix}/golden_pdf_glyphs.parquet'
+        """,
+        "pdf_layout": f"""
+            SELECT doc_id, CAST(page AS BIGINT) AS page, text
+            FROM '{fix}/golden_pdf_text.parquet'
+        """,
+        "pdf_errors": f"""
+            SELECT doc_id, error FROM '{fix}/golden_pdf_errors.parquet'
         """,
         "attendance_fields": f"""
             SELECT url, classe, cours, date, nom_du_professeur,

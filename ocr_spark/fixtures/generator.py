@@ -31,6 +31,7 @@ import json
 import os
 import random
 import unicodedata
+import zlib
 from datetime import datetime, timedelta, timezone
 
 import pyarrow as pa
@@ -62,16 +63,16 @@ def join_blocks(blocks: list[str]) -> tuple[str, list[tuple[str, int, int]]]:
     return "\n".join(normed), spans
 
 SEED = 42
-FORMAT_VERSION = 28  # bump to force regeneration everywhere (v28: mid-stream WARC garbage with false-magic bait)
+FORMAT_VERSION = 29  # bump to force regeneration everywhere (v29: PDF byte-layer fixtures — gen_pdf_doc)
 
 # bench is sized so the extraction stage runs for seconds, not hundreds of
 # milliseconds, at local[32] — otherwise the ~0.3 s fixed job floor (task
 # scheduling, result collection) dominates and the N-vs-4N scaling
 # comparison measures overhead, not the operator.
 TIERS = {
-    "tiny": {"pages": 100, "glyph_docs": 20, "attendance": 50, "warc_files": 4, "audio": 40, "video": 40, "image": 40, "corpus": 120},
-    "small": {"pages": 1000, "glyph_docs": 200, "attendance": 400, "warc_files": 8, "audio": 200, "video": 200, "image": 200, "corpus": 2000},
-    "bench": {"pages": 160000, "glyph_docs": 8000, "attendance": 0, "warc_files": 0, "audio": 0, "video": 0, "image": 0, "corpus": 120000},
+    "tiny": {"pages": 100, "glyph_docs": 20, "attendance": 50, "warc_files": 4, "audio": 40, "video": 40, "image": 40, "corpus": 120, "pdf_docs": 40},
+    "small": {"pages": 1000, "glyph_docs": 200, "attendance": 400, "warc_files": 8, "audio": 200, "video": 200, "image": 200, "corpus": 2000, "pdf_docs": 150},
+    "bench": {"pages": 160000, "glyph_docs": 8000, "attendance": 0, "warc_files": 0, "audio": 0, "video": 0, "image": 0, "corpus": 120000, "pdf_docs": 4000},
 }
 
 EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
@@ -492,6 +493,440 @@ def gen_glyph_doc(rng: random.Random, doc_id: int) -> tuple[list, list]:
 
 
 # ---------------------------------------------------------------------------
+# PDF documents — engine A's BYTE layer (kernel: ocr_spark/functions/pdf.py,
+# frozen contract P1-P8).  The generator COMPOSES files (objects, xref,
+# content streams); the kernel tokenizes and parses them back — independent
+# code paths.  Goldens derive from the generator's mirrored text-matrix
+# arithmetic (its PARAMETERS), never from parsing.  The mirror reproduces
+# the kernel's P7 expressions token for token so float results are
+# bit-identical: every number written into the PDF is formatted with
+# ``_pdf_num`` (repr round-trips exactly through the kernel's float()).
+# ---------------------------------------------------------------------------
+_PDF_SIZE = 10.0  # written as "10" -> kernel float(10) == 10.0
+
+# independent copy of the public Helvetica AFM widths (1/1000 em); the
+# kernel carries its own (functions/pdf.py HELVETICA_WIDTHS) and a pytest
+# asserts the two copies agree so neither side drifts alone
+_PDF_HELV_WIDTHS = {
+    " ": 278, "!": 278, '"': 355, "#": 556, "$": 556, "%": 889, "&": 667,
+    "'": 191, "(": 333, ")": 333, "*": 389, "+": 584, ",": 278, "-": 333,
+    ".": 278, "/": 278, "0": 556, "1": 556, "2": 556, "3": 556, "4": 556,
+    "5": 556, "6": 556, "7": 556, "8": 556, "9": 556, ":": 278, ";": 278,
+    "<": 584, "=": 584, ">": 584, "?": 556, "@": 1015, "A": 667, "B": 667,
+    "C": 722, "D": 722, "E": 667, "F": 611, "G": 778, "H": 722, "I": 278,
+    "J": 500, "K": 667, "L": 556, "M": 833, "N": 722, "O": 778, "P": 667,
+    "Q": 778, "R": 722, "S": 667, "T": 611, "U": 722, "V": 667, "W": 944,
+    "X": 667, "Y": 667, "Z": 611, "[": 278, "\\": 278, "]": 278, "^": 469,
+    "_": 556, "`": 333, "a": 556, "b": 556, "c": 500, "d": 556, "e": 556,
+    "f": 278, "g": 556, "h": 556, "i": 222, "j": 222, "k": 500, "l": 222,
+    "m": 833, "n": 556, "o": 556, "p": 556, "q": 556, "r": 333, "s": 500,
+    "t": 278, "u": 556, "v": 500, "w": 722, "x": 500, "y": 500, "z": 500,
+    "{": 334, "|": 260, "}": 334, "~": 584,
+}
+
+
+def _pdf_w(font: str, ch: str) -> int:
+    """Width units for a char under the generator's font model."""
+    if font.startswith("Courier"):
+        return 600  # fixed pitch
+    w = _PDF_HELV_WIDTHS.get(ch)
+    if w is None:
+        raise ValueError(f"generator emitted unsupported Helvetica char {ch!r}")
+    return w
+
+
+def _pdf_num(v: float) -> str:
+    """Number -> PDF token whose float() parse is the same float (repr
+    round-trips exactly; integral values print as ints)."""
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(v)
+
+
+def _pdf_lit(data: bytes, rng: random.Random) -> str:
+    """Literal-string token with the mandatory escapes; non-ASCII and
+    control bytes sometimes take the octal form to exercise the lexer."""
+    out = ["("]
+    for b in data:
+        if b in (0x5C, 0x28, 0x29):
+            out.append("\\" + chr(b))
+        elif b < 0x20 or (b >= 0x80 and rng.random() < 0.5):
+            out.append("\\%03o" % b)
+        else:
+            out.append(chr(b))
+    out.append(")")
+    return "".join(out)
+
+
+def _pdf_string_token(text: str, rng: random.Random) -> str:
+    """Encode a show string as literal or hex (10%)."""
+    data = text.encode("cp1252")
+    if rng.random() < 0.10:
+        h = data.hex()
+        return "<" + (h.upper() if rng.random() < 0.5 else h) + ">"
+    return _pdf_lit(data, rng)
+
+
+class _PdfPageRender:
+    """Renders one page's positioned lines into content-stream ops while
+    MIRRORING the kernel's P7 arithmetic to produce golden glyph boxes."""
+
+    def __init__(self, rng: random.Random, font: str, mode: str, media_top: float):
+        self.rng = rng
+        self.font = font
+        self.mode = mode  # td | tm | tstar
+        self.media_top = media_top
+        self.ops: list[str] = ["BT", f"/{ 'F1' if font.startswith('Courier') else 'F2' } {_pdf_num(_PDF_SIZE)} Tf"]
+        self.glyphs: list[tuple] = []  # (ch, x0, y0, x1, y1)
+        self.line_x = 0.0  # mirrored text line matrix (PDF space)
+        self.line_y = 0.0
+        self.leading = 0.0
+        if mode == "tstar":
+            self.ops.append(f"{_pdf_num(LINE_SP)} TL")
+            self.leading = float(LINE_SP)
+        if rng.random() < 0.3:  # benign graphics noise the kernel must skip
+            self.ops.insert(0, "q 1 w 0 0 612 792 re W n Q")
+
+    def _move_to(self, px: float, py: float) -> None:
+        """Emit the positioning op for this mode; mirror exactly what the
+        kernel will compute from the tokens written."""
+        if self.mode == "tm":
+            self.ops.append(f"1 0 0 1 {_pdf_num(px)} {_pdf_num(py)} Tm")
+            self.line_x, self.line_y = px, py
+            return
+        if (
+            self.mode == "tstar"
+            and px == self.line_x
+            and self.line_y - self.leading == py
+        ):
+            # plain next-line: T* (the show op itself may become ')
+            self.ops.append("T*")
+            self.line_y = self.line_y - self.leading
+            return
+        dx = px - self.line_x
+        dy = py - self.line_y
+        if self.rng.random() < 0.15:  # TD variant: also sets leading = -ty
+            self.ops.append(f"{_pdf_num(dx)} {_pdf_num(dy)} TD")
+            self.leading = -dy
+        else:
+            self.ops.append(f"{_pdf_num(dx)} {_pdf_num(dy)} Td")
+        self.line_x = self.line_x + dx
+        self.line_y = self.line_y + dy
+
+    def line(self, x_start: float, baseline_topdown: float, text: str) -> None:
+        """Position to (x_start, baseline) in top-down coords and show
+        ``text``, mirroring glyph emission (P7)."""
+        py = self.media_top - baseline_topdown
+        pending_tstar = (
+            self.mode == "tstar"
+            and x_start == self.line_x
+            and self.line_y - self.leading == py
+        )
+        self._move_to(float(x_start), py)
+        x = self.line_x
+        y = self.line_y
+        size = _PDF_SIZE
+
+        def mirror_show(chunk: str) -> None:
+            nonlocal x
+            for ch in chunk:
+                w = _pdf_w(self.font, ch)
+                adv = w * size / 1000.0  # kernel P7, same expression
+                if ch != " ":
+                    y_top = self.media_top - y
+                    self.glyphs.append(
+                        (ch, x, y_top - 0.8 * size, x + adv - 0.5, y_top)
+                    )
+                x = x + adv
+
+        r = self.rng.random()
+        if r < 0.20 and len(text) >= 6:
+            # TJ with a kern splice inside a word: |t| <= 40 units keeps the
+            # spliced gap within (0.1, 0.9) pt — far from SPACE_GAP (3.0)
+            cand = [
+                i
+                for i in range(2, len(text) - 2)
+                if text[i] != " " and text[i - 1] != " "
+            ]
+            if cand:
+                i = self.rng.choice(cand)
+                t = self.rng.choice([-40, -25, -10, 10, 25, 40])
+                tok1 = _pdf_string_token(text[:i], self.rng)
+                tok2 = _pdf_string_token(text[i:], self.rng)
+                self.ops.append(f"[{tok1} {t} {tok2}] TJ")
+                mirror_show(text[:i])
+                x = x - float(t) * size / 1000.0  # kernel TJ adjust
+                mirror_show(text[i:])
+                return
+        tok = _pdf_string_token(text, self.rng)
+        if pending_tstar and self.ops and self.ops[-1] == "T*" and tok.startswith("(") and self.rng.random() < 0.5:
+            self.ops.pop()  # ' == T* then show
+            self.ops.append(f"{tok} '")
+        else:
+            self.ops.append(f"{tok} Tj")
+        mirror_show(text)
+
+    def content(self) -> bytes:
+        return "\n".join(self.ops + ["ET"]).encode("latin-1")
+
+
+def _pdf_wrap_lines(
+    rng: random.Random, font: str, x_range: tuple[float, float], budget_lines: int, lang: str
+) -> list[str]:
+    """Width-aware line wrap (points, not chars — Helvetica is
+    proportional).  1.5 pt slack absorbs TJ kern shifts so lines never
+    cross the column edge."""
+    budget = (x_range[1] - x_range[0]) - 1.5
+    pool = _WORDS[lang]
+    space_adv = _pdf_w(font, " ") * _PDF_SIZE / 1000.0
+    lines = []
+    for _ in range(budget_lines):
+        words: list[str] = []
+        used = 0.0
+        while True:
+            w = rng.choice(pool)
+            w_adv = sum(_pdf_w(font, c) * _PDF_SIZE / 1000.0 for c in w)
+            add = w_adv if not words else w_adv + space_adv
+            if used + add > budget:
+                break
+            words.append(w)
+            used += add
+        lines.append(" ".join(words) if words else "x")
+    return lines
+
+
+_PDF_ERROR_KINDS = (
+    "not_pdf", "bad_xref_truncated", "bad_xref_offset", "unsupported_filter",
+    "bad_stream", "missing_font", "missing_width", "bad_content",
+)
+# what the kernel reports for each planted kind
+_PDF_ERROR_CODE = {
+    "not_pdf": "not_pdf",
+    "bad_xref_truncated": "bad_xref",
+    "bad_xref_offset": "bad_xref",
+    "unsupported_filter": "unsupported_filter",
+    "bad_stream": "bad_stream",
+    "missing_font": "missing_font",
+    "missing_width": "missing_width",
+    "bad_content": "bad_content",
+}
+
+
+def _pdf_build_file(
+    rng: random.Random,
+    page_contents: list[bytes],
+    *,
+    inherited_attrs: bool,
+    nested_tree: bool,
+    bad_startxref: bool = False,
+    filter_override: str | None = None,
+    corrupt_flate: bool = False,
+) -> bytes:
+    """Assemble a classic-xref PDF.  Object write order is shuffled (the
+    xref table, not file order, locates objects); streams are Flate (50%)
+    or raw; /Length is sometimes an indirect ref; /Contents is sometimes a
+    2-stream array; /MediaBox + /Resources sit on the Pages node
+    (inherited) or on each page."""
+    objs: dict[int, bytes] = {}
+    next_num = 5  # 1 catalog, 2 pages root, 3 F1 Courier, 4 F2 Helvetica
+
+    def alloc() -> int:
+        nonlocal next_num
+        n = next_num
+        next_num += 1
+        return n
+
+    def stream_obj(body: bytes) -> int:
+        nonlocal next_num
+        use_flate = filter_override is not None or corrupt_flate or rng.random() < 0.5
+        extra = ""
+        if filter_override is not None:
+            data, extra = body, f" /Filter /{filter_override}"
+        elif use_flate:
+            data = zlib.compress(body)
+            if corrupt_flate:
+                data = b"\x00\x00" + data[2:]  # broken zlib header
+            extra = " /Filter /FlateDecode"
+        else:
+            data = body
+        num = alloc()
+        if rng.random() < 0.2:  # /Length as an indirect reference
+            len_num = alloc()
+            objs[len_num] = str(len(data)).encode()
+            ldict = f"<< /Length {len_num} 0 R{extra} >>"
+        else:
+            ldict = f"<< /Length {len(data)}{extra} >>"
+        objs[num] = ldict.encode() + b"\nstream\n" + data + b"\nendstream"
+        return num
+
+    attrs = b" /MediaBox [0 0 612 792] /Resources << /Font << /F1 3 0 R /F2 4 0 R >> >>"
+    page_nums = []
+    for body in page_contents:
+        nl = body.find(b"\n", len(body) // 2)
+        if rng.random() < 0.2 and 0 < nl < len(body) - 3:
+            # /Contents as an array of two streams (joined by the kernel)
+            c1 = stream_obj(body[:nl])
+            c2 = stream_obj(body[nl + 1 :])
+            contents = f"[{c1} 0 R {c2} 0 R]"
+        else:
+            contents = f"{stream_obj(body)} 0 R"
+        pnum = alloc()
+        page_attrs = b"" if inherited_attrs else attrs
+        objs[pnum] = (
+            f"<< /Type /Page /Parent 2 0 R /Contents {contents}".encode()
+            + page_attrs
+            + b" >>"
+        )
+        page_nums.append(pnum)
+    kids = " ".join(f"{n} 0 R" for n in page_nums)
+    root_attrs = attrs if inherited_attrs else b""
+    if nested_tree and len(page_nums) > 1:
+        inner = alloc()
+        objs[inner] = (
+            f"<< /Type /Pages /Kids [{kids}] /Count {len(page_nums)} >>".encode()
+        )
+        objs[2] = (
+            f"<< /Type /Pages /Kids [{inner} 0 R] /Count {len(page_nums)}".encode()
+            + root_attrs
+            + b" >>"
+        )
+    else:
+        objs[2] = (
+            f"<< /Type /Pages /Kids [{kids}] /Count {len(page_nums)}".encode()
+            + root_attrs
+            + b" >>"
+        )
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier /Encoding /WinAnsiEncoding >>"
+    objs[4] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
+
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    if rng.random() < 0.2:
+        buf += b"% generator comment line\n"
+    order = sorted(objs)
+    rng.shuffle(order)
+    offsets: dict[int, int] = {}
+    for num in order:
+        offsets[num] = len(buf)
+        buf += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_off = len(buf)
+    maxn = max(objs)
+    buf += f"xref\n0 {maxn + 1}\n".encode()
+    buf += b"0000000000 65535 f \n"
+    for n in range(1, maxn + 1):
+        buf += f"{offsets[n]:010d} 00000 n \n".encode()
+    start = xref_off + 2 if bad_startxref else xref_off
+    buf += (
+        f"trailer\n<< /Size {maxn + 1} /Root 1 0 R >>\n"
+        f"startxref\n{start}\n%%EOF"
+    ).encode()
+    return bytes(buf)
+
+
+def gen_pdf_doc(rng: random.Random, doc_id: int):
+    """Returns (pdf_bytes, glyph_rows, text_rows, error).
+
+    glyph_rows: (page, glyph_id, ch, x0, y0, x1, y1) — P8 doc-running ids;
+    text_rows: (page, text) — the L1-L4 reading-order expectation (body
+    lines only; header/footer fall to rule L1).  Error docs return
+    ([], [], code) with the planted taxonomy code."""
+    planted = rng.random() < 0.12
+    kind = rng.choice(_PDF_ERROR_KINDS) if planted else None
+
+    if kind == "not_pdf":
+        n = rng.randint(40, 400)
+        data = bytes(rng.randrange(256) for _ in range(n))
+        if data.startswith(b"%PDF-"):
+            data = b"\x00" + data[1:]
+        return data, [], [], "not_pdf"
+
+    font = rng.choice(["Courier", "Courier", "Helvetica"])
+    lang = rng.choice(["en", "en", "fr", "de"]) if font == "Courier" else "en"
+    mode = rng.choice(["td", "td", "tm", "tstar"])
+    jitter = mode != "tstar"  # T* cannot express per-line jitter
+    n_pages = 1 if planted else rng.randint(1, 4)
+
+    contents: list[bytes] = []
+    glyph_rows: list[tuple] = []
+    text_rows: list[tuple] = []
+    gid = 0
+    for page in range(1, n_pages + 1):
+        r = _PdfPageRender(rng, font, mode, media_top=792.0)
+        jit = lambda: (rng.random() - 0.5) if jitter else 0.0  # noqa: E731
+        r.line(72.0, 50.0 + jit(), f"header {doc_id} {page}")
+        body_lines: list[str] = []
+        if kind is not None:
+            # one short valid line, then the planted violation
+            r.line(72.0, BODY_TOP, "planted error document")
+            if kind == "missing_font":
+                r.ops.append("/F9 10 Tf")
+                r.ops.append("(x) Tj")
+            elif kind == "missing_width":
+                r.ops = ["BT", "/F2 10 Tf", "72 680 Td", _pdf_lit("café".encode("cp1252"), rng) + " Tj"]
+            elif kind == "bad_content":
+                r.ops.append("100 Tz")
+            contents.append(r.content())
+            break
+        two_col = rng.random() < 0.5
+        if two_col:
+            for col in (COL1, COL2):
+                n_lines = rng.randint(5, 18)
+                col_lines = _pdf_wrap_lines(rng, font, col, n_lines, lang)
+                y = BODY_TOP
+                for i, line in enumerate(col_lines):
+                    if rng.random() < 0.12 and i > 0:
+                        y += PARA_SP - LINE_SP
+                    r.line(col[0], y + jit(), line)
+                    y += LINE_SP
+                body_lines.extend(col_lines)
+        else:
+            n_lines = rng.randint(8, 30)
+            col_lines = _pdf_wrap_lines(rng, font, FULL, n_lines, lang)
+            caption_at = (
+                rng.randint(2, max(2, n_lines - 2))
+                if rng.random() < 0.25 and n_lines > 4
+                else None
+            )
+            y = BODY_TOP
+            for i, line in enumerate(col_lines):
+                if rng.random() < 0.12 and i > 0:
+                    y += PARA_SP - LINE_SP
+                if caption_at is not None and i == caption_at:
+                    if y + 40.0 + LINE_SP <= BODY_BOTTOM:
+                        y += 40.0
+                        cap = f"figure {rng.randint(1, 9)} caption text"
+                        r.line(FULL[0], y + jit(), cap)
+                        body_lines.append(cap)
+                        y += LINE_SP
+                if y > BODY_BOTTOM:
+                    break
+                r.line(FULL[0], y + jit(), line)
+                body_lines.append(line)
+                y += LINE_SP
+        r.line(72.0, 760.0 + jit(), f"page {page}")
+        contents.append(r.content())
+        text_rows.append((page, "\n".join(body_lines)))
+        for ch, x0, y0, x1, y1 in r.glyphs:
+            glyph_rows.append((page, gid, ch, x0, y0, x1, y1))
+            gid += 1
+
+    pdf = _pdf_build_file(
+        rng,
+        contents,
+        inherited_attrs=rng.random() < 0.5,
+        nested_tree=rng.random() < 0.15,
+        bad_startxref=kind == "bad_xref_offset",
+        filter_override="LZWDecode" if kind == "unsupported_filter" else None,
+        corrupt_flate=kind == "bad_stream",
+    )
+    if kind == "bad_xref_truncated":
+        pdf = pdf[: int(len(pdf) * 0.7)]
+    if kind is not None:
+        return pdf, [], [], _PDF_ERROR_CODE[kind]
+    return pdf, glyph_rows, text_rows, None
+
+
+# ---------------------------------------------------------------------------
 # attendance docs (structured-field branch; reference pdf-data-schema.ts:5-17)
 # ---------------------------------------------------------------------------
 _FIRST = "Amina Youssef Sara Omar Lina Karim Nadia Hassan Leila Mehdi Rania Samir Aya Tarek Salma Walid".split()
@@ -660,6 +1095,13 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
         expected += ["image.parquet", "golden_image.parquet"]
     if cfg.get("corpus"):
         expected += ["corpus.parquet"]
+    if cfg.get("pdf_docs"):
+        expected += [
+            "pdf_docs.parquet",
+            "golden_pdf_glyphs.parquet",
+            "golden_pdf_text.parquet",
+            "golden_pdf_errors.parquet",
+        ]
     if os.path.exists(man_path):
         with open(man_path) as f:
             # a matching manifest only counts if the tables it promises are
@@ -733,6 +1175,65 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
             }
         )
         _write(os.path.join(out_dir, "golden_glyphs.parquet"), ggold)
+
+    # ---- PDF documents (engine A byte layer) -----------------------------
+    if cfg.get("pdf_docs"):
+        rng = random.Random(f"{seed}-pdf-{tier}")
+        pdf_payloads: list[bytes] = []
+        pg_rows: list[tuple] = []  # (doc_id, page, glyph_id, ch, x0..y1)
+        pt_rows: list[tuple] = []  # (doc_id, page, text)
+        pe_rows: list[tuple] = []  # (doc_id, error|None)
+        for d in range(cfg["pdf_docs"]):
+            pdf, grows_, trows_, err = gen_pdf_doc(rng, d)
+            pdf_payloads.append(pdf)
+            pe_rows.append((d, err))
+            for page, gid, ch, x0, y0, x1, y1 in grows_:
+                pg_rows.append((d, page, gid, ch, x0, y0, x1, y1))
+            for page, text in trows_:
+                pt_rows.append((d, page, text))
+        _write(
+            os.path.join(out_dir, "pdf_docs.parquet"),
+            pa.table(
+                {
+                    "doc_id": pa.array(range(cfg["pdf_docs"]), pa.int64()),
+                    "pdf": pa.array(pdf_payloads, pa.binary()),
+                }
+            ),
+        )
+        _write(
+            os.path.join(out_dir, "golden_pdf_glyphs.parquet"),
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in pg_rows], pa.int64()),
+                    "page": pa.array([r[1] for r in pg_rows], pa.int32()),
+                    "glyph_id": pa.array([r[2] for r in pg_rows], pa.int64()),
+                    "ch": [r[3] for r in pg_rows],
+                    "x0": pa.array([r[4] for r in pg_rows], pa.float64()),
+                    "y0": pa.array([r[5] for r in pg_rows], pa.float64()),
+                    "x1": pa.array([r[6] for r in pg_rows], pa.float64()),
+                    "y1": pa.array([r[7] for r in pg_rows], pa.float64()),
+                }
+            ),
+        )
+        _write(
+            os.path.join(out_dir, "golden_pdf_text.parquet"),
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in pt_rows], pa.int64()),
+                    "page": pa.array([r[1] for r in pt_rows], pa.int32()),
+                    "text": [r[2] for r in pt_rows],
+                }
+            ),
+        )
+        _write(
+            os.path.join(out_dir, "golden_pdf_errors.parquet"),
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in pe_rows], pa.int64()),
+                    "error": [r[1] for r in pe_rows],
+                }
+            ),
+        )
 
     # ---- attendance -----------------------------------------------------
     if cfg["attendance"]:

@@ -1,0 +1,274 @@
+"""PDF byte layer: stdlib parser (functions/pdf.py P1-P8) vs the fixture
+generator's composed files — two independent code paths, byte-identical
+goldens (the PNG/WAV/MP4 playbook applied to the reference's titular
+format, reference src/app/page.tsx:444-452)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.fixtures import generator as gen
+from ocr_spark.functions import pdf as pdfmod
+from ocr_spark.functions.layout import page_text
+from ocr_spark.functions.pdf import pdf_glyphs
+
+
+# ---------------------------------------------------------------------------
+# the two width-table copies must agree (neither side may drift alone)
+# ---------------------------------------------------------------------------
+def test_width_tables_agree():
+    assert gen._PDF_HELV_WIDTHS == pdfmod.HELVETICA_WIDTHS
+    for ch in "axM ":
+        assert gen._pdf_w("Courier", ch) == pdfmod.COURIER_WIDTHS.get(ch) == 600
+
+
+# ---------------------------------------------------------------------------
+# round trip: generator-composed files parse back bit-identically
+# ---------------------------------------------------------------------------
+def test_roundtrip_glyphs_and_text_bit_identical():
+    rng = random.Random("pdf-roundtrip")
+    n_ok = n_err = 0
+    for d in range(120):
+        pdf, grows, trows, err = gen.gen_pdf_doc(rng, d)
+        rows, kerr = pdf_glyphs(pdf)
+        if err is not None:
+            assert kerr == err
+            assert rows == []
+            n_err += 1
+            continue
+        assert kerr is None
+        n_ok += 1
+        krows = [
+            (p, i, ch, x0, y0, x1, y1)
+            for i, (p, ch, x0, y0, x1, y1) in enumerate(rows)
+        ]
+        assert krows == grows  # bit-identical floats, P7 pinned arithmetic
+        pages: dict[int, list] = {}
+        for p, ch, x0, y0, x1, y1 in rows:
+            pages.setdefault(p, []).append((ch, x0, y0, x1, y1))
+        for p, text in trows:
+            g = pages[p]
+            kt = page_text(
+                np.array([r[0] for r in g], dtype=object),
+                np.array([r[1] for r in g]),
+                np.array([r[2] for r in g]),
+                np.array([r[3] for r in g]),
+                np.array([r[4] for r in g]),
+            )
+            assert kt == text
+    assert n_ok > 60 and n_err > 5  # both populations exercised
+
+
+# ---------------------------------------------------------------------------
+# error taxonomy (P1-P7): each failure class recorded, never raised
+# ---------------------------------------------------------------------------
+def _minimal_pdf(content: bytes = b"BT /F1 10 Tf 72 700 Td (hi) Tj ET") -> bytes:
+    rng = random.Random(0)
+    return gen._pdf_build_file(
+        rng, [content], inherited_attrs=True, nested_tree=False
+    )
+
+
+def test_error_not_pdf():
+    assert pdf_glyphs(b"") == ([], "not_pdf")
+    assert pdf_glyphs(None) == ([], "not_pdf")
+    assert pdf_glyphs(b"\x00\x01garbage") == ([], "not_pdf")
+
+
+def test_error_truncation_sweep_never_raises():
+    pdf = _minimal_pdf()
+    rows, err = pdf_glyphs(pdf)
+    assert err is None and rows
+    for cut in range(1, len(pdf), 7):
+        trows, terr = pdf_glyphs(pdf[:cut])
+        assert (terr is None) or terr in pdfmod.ERROR_CODES
+        if cut < len(pdf) - 20:  # xref/trailer gone or mangled
+            assert terr is not None
+
+
+def test_error_bad_xref_offset():
+    pdf = _minimal_pdf()
+    i = pdf.rindex(b"startxref")
+    j = pdf.index(b"\n", i) + 1
+    k = pdf.index(b"\n", j)
+    bad = pdf[:j] + b"1" + pdf[j:k] + pdf[k:]
+    assert pdf_glyphs(bad)[1] == "bad_xref"
+
+
+def test_error_unsupported_filter_and_bad_stream():
+    rng = random.Random(1)
+    lzw = gen._pdf_build_file(
+        rng, [b"BT ET"], inherited_attrs=True, nested_tree=False,
+        filter_override="LZWDecode",
+    )
+    assert pdf_glyphs(lzw)[1] == "unsupported_filter"
+    bad = gen._pdf_build_file(
+        rng, [b"BT ET"], inherited_attrs=True, nested_tree=False,
+        corrupt_flate=True,
+    )
+    assert pdf_glyphs(bad)[1] == "bad_stream"
+
+
+def test_error_content_taxonomy():
+    cases = {
+        b"BT (x) Tj ET": "missing_font",  # show with no font set
+        b"BT /F9 10 Tf (x) Tj ET": "missing_font",  # not in /Resources
+        b"BT /F2 10 Tf 72 700 Td (\\351) Tj ET": "missing_width",  # Helv é
+        b"BT /F1 10 Tf 100 Tz (x) Tj ET": "bad_content",  # unsupported op
+        b"BT /F1 10 Tf 2 0 0 2 72 700 Tm (x) Tj ET": "bad_content",  # scale
+        b"BT /F1 10 Tf [(a) /oops] TJ ET": "bad_content",
+    }
+    for content, code in cases.items():
+        assert pdf_glyphs(_minimal_pdf(content))[1] == code, content
+
+
+def test_error_page_tree():
+    pdf = _minimal_pdf()
+    broken = pdf.replace(b"/Type /Pages", b"/Type /Wrong", 1)
+    assert pdf_glyphs(broken)[1] == "bad_page_tree"
+
+
+# ---------------------------------------------------------------------------
+# parser features: hex strings, escapes, TJ kerns, inheritance, T*/'
+# ---------------------------------------------------------------------------
+def test_hex_and_octal_strings_equivalent():
+    lit = _minimal_pdf(b"BT /F1 10 Tf 72 700 Td (ab\\143) Tj ET")
+    hexs = _minimal_pdf(b"BT /F1 10 Tf 72 700 Td <61 62 63> Tj ET")
+    r1, e1 = pdf_glyphs(lit)
+    r2, e2 = pdf_glyphs(hexs)
+    assert e1 is None and e2 is None
+    assert r1 == r2
+    assert "".join(r[1] for r in r1) == "abc"
+
+
+def test_tj_kern_moves_pen():
+    base = _minimal_pdf(b"BT /F1 10 Tf 72 700 Td [(ab)] TJ ET")
+    kern = _minimal_pdf(b"BT /F1 10 Tf 72 700 Td [(a) -100 (b)] TJ ET")
+    rb, _ = pdf_glyphs(base)
+    rk, _ = pdf_glyphs(kern)
+    # -100 units at size 10 -> +1.0 pt
+    assert rk[1][2] == rb[1][2] + 100.0 * 10.0 / 1000.0
+
+
+def test_quote_and_tstar_line_advance():
+    content = b"BT /F1 10 Tf 14 TL 72 700 Td (one) Tj T* (two) Tj (tri) ' ET"
+    rows, err = pdf_glyphs(_minimal_pdf(content))
+    assert err is None
+    ys = sorted({r[5] for r in rows})  # y1 = y_top per line (top-down)
+    assert len(ys) == 3
+    assert ys[1] - ys[0] == pytest.approx(14.0)
+    assert ys[2] - ys[1] == pytest.approx(14.0)
+
+
+def test_helvetica_proportional_advance():
+    rows, err = pdf_glyphs(_minimal_pdf(b"BT /F2 10 Tf 72 700 Td (il) Tj ET"))
+    assert err is None
+    i_row, l_row = rows
+    assert i_row[1] == "i" and l_row[1] == "l"
+    # same form as the kernel's accumulation (x = x + adv), not a
+    # subtraction (which reorders the float op and fails on the last ulp)
+    assert l_row[2] == i_row[2] + 222 * 10.0 / 1000.0
+
+
+# ---------------------------------------------------------------------------
+# Spark operators over the fixture tier (tiny): oracle-shaped assertions
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def pdf_tables(spark, tiny_dir):
+    docs = spark.read.parquet(f"{tiny_dir}/pdf_docs.parquet")
+    return docs, tiny_dir
+
+
+def test_spark_pdf_glyphs_match_golden(spark, pdf_tables):
+    from ocr_spark.operators.pdf_ops import pdf_to_glyphs
+
+    docs, tiny_dir = pdf_tables
+    got = (
+        pdf_to_glyphs(docs)
+        .filter(F.col("error").isNull())
+        .drop("error")
+        .toPandas()
+        .sort_values(["doc_id", "glyph_id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        spark.read.parquet(f"{tiny_dir}/golden_pdf_glyphs.parquet")
+        .toPandas()
+        .sort_values(["doc_id", "glyph_id"])
+        .reset_index(drop=True)
+    )
+    got["page"] = got["page"].astype("int32")
+    assert got.equals(want[got.columns.tolist()])
+
+
+def test_spark_pdf_errors_match_golden(spark, pdf_tables):
+    from ocr_spark.operators.pdf_ops import pdf_to_glyphs
+
+    docs, tiny_dir = pdf_tables
+    got = dict(
+        pdf_to_glyphs(docs)
+        .groupBy("doc_id")
+        .agg(F.max("error").alias("error"))
+        .collect()
+    )
+    want = dict(
+        spark.read.parquet(f"{tiny_dir}/golden_pdf_errors.parquet").collect()
+    )
+    assert got == want
+
+
+def test_spark_pdf_page_text_matches_golden_and_composed(spark, pdf_tables):
+    """Fused pdf_to_page_text == golden text == composed
+    (pdf_to_glyphs -> glyphs_to_page_text) — the end-to-end engine-A
+    front door from raw bytes."""
+    from ocr_spark.operators.layout_ops import glyphs_to_page_text
+    from ocr_spark.operators.pdf_ops import pdf_to_glyphs, pdf_to_page_text
+
+    docs, tiny_dir = pdf_tables
+    fused = {
+        (r["doc_id"], r["page"]): r["text"]
+        for r in pdf_to_page_text(docs).filter(F.col("error").isNull()).collect()
+    }
+    golden = {
+        (r["doc_id"], r["page"]): r["text"]
+        for r in spark.read.parquet(f"{tiny_dir}/golden_pdf_text.parquet").collect()
+    }
+    assert fused == golden
+    composed = {
+        (r["doc_id"], r["page"]): r["text"]
+        for r in glyphs_to_page_text(
+            pdf_to_glyphs(docs).filter(F.col("error").isNull()).drop("error"),
+            clustered_input=True,
+        ).collect()
+    }
+    assert composed == golden
+
+
+def test_pdf_chain_plan_is_exchange_free(spark, pdf_tables):
+    """The fused front door must stay a zero-Exchange scan->mapInArrow
+    plan (the same shape as the html extraction branch)."""
+    from ocr_spark.operators.pdf_ops import pdf_to_page_text
+
+    docs, _ = pdf_tables
+    plan = pdf_to_page_text(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_flate_and_raw_streams_both_present(spark, pdf_tables):
+    """Fixture coverage guard: the tier must exercise Flate AND raw
+    content streams, literal AND hex strings, and at least 3 error kinds
+    — otherwise parser paths silently lose coverage."""
+    docs, tiny_dir = pdf_tables
+    payloads = [bytes(r["pdf"]) for r in docs.collect()]
+    n_flate = sum(b"/Filter /FlateDecode" in p for p in payloads)
+    assert n_flate > 0 and n_flate < len(payloads)
+    errors = {
+        r["error"]
+        for r in spark.read.parquet(f"{tiny_dir}/golden_pdf_errors.parquet").collect()
+        if r["error"]
+    }
+    assert len(errors) >= 3
