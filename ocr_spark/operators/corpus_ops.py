@@ -93,7 +93,7 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 13,
-    max_broadcast_hits: int | None = 4_000_000,
+    max_broadcast_hits: int | None = 1_000_000,
 ) -> DataFrame:
     """Flag corpus documents sharing at least one word ``n``-gram with the
     benchmark/eval set (the exact-substring decontamination rule used for
@@ -114,10 +114,13 @@ def decontaminate(
     below the cap the collected rows BECOME the broadcast side, so the
     benign case computes the gram join exactly once and no persisted
     relation outlives the call; above the cap a plain shuffle join
-    recomputes the aggregate once (pathological path only).  Callers that
-    KNOW the benchmark is a bounded eval set can pass
-    ``max_broadcast_hits=None`` to skip the probe and broadcast
-    unconditionally."""
+    recomputes the aggregate once (pathological path only).  Note the
+    probe's own driver footprint: up to cap+1 driver-side Row objects at
+    a few hundred bytes each — the 1M default keeps the worst case in the
+    hundreds of MB, of the same order as the broadcast it guards (raise
+    it only with driver memory to spare).  Callers that KNOW the
+    benchmark is a bounded eval set can pass ``max_broadcast_hits=None``
+    to skip the probe and broadcast unconditionally."""
     bench_grams = (
         _distinct_ngrams(benchmark, id_col, text_col, n)
         .select("gram")
@@ -340,7 +343,7 @@ def remove_boilerplate_lines(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_doc_freq: int = 5,
-    max_broadcast_lines: int | None = 4_000_000,
+    max_broadcast_lines: int | None = 1_000_000,
     carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Cross-document boilerplate-line removal (the CCNet paragraph-dedup /
@@ -359,9 +362,14 @@ def remove_boilerplate_lines(
     - **Guarded broadcast of the hot set** (same pattern as
       :func:`decontaminate`): hot lines are bounded by
       total_lines/min_doc_freq and are ~10^5..10^7 template strings on a
-      real crawl, so the anti-join probe side broadcasts; a pathological
-      corpus (every line shared) is caught by a short-circuiting
-      ``limit(cap+1).count()`` probe and falls back to a shuffle join.
+      real crawl, so the anti-join side usually broadcasts; the guard
+      COLLECTS up to cap+1 rows (never a ``limit().count()`` — it cannot
+      short-circuit below the blocking frequency aggregate, see CLAUDE.md)
+      and below the cap the collected rows BECOME the broadcast side; a
+      pathological corpus (every line shared) overflows the probe and
+      falls back to a shuffle join.  Probe driver footprint: cap+1 Row
+      objects worst case (hundreds of MB at the 1M default — same order
+      as the broadcast it guards).
     - **One reassembly shuffle and NO second corpus join**: every doc's
       exploded rows are prefixed with a null-line SENTINEL row — a null
       join key never matches, so the sentinel always survives the

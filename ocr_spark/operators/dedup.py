@@ -36,6 +36,51 @@ class StaleTableError(ValueError):
     their layout exit code without swallowing unrelated ValueErrors."""
 
 
+def _capped_self_join_sides(
+    banded: DataFrame, key_col: str, max_bucket: int | None, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Bound the quadratic blow-up of an LSH bucket self-join.
+
+    The candidate join is quadratic PER BUCKET: a near-identical template
+    cluster of n docs (a boilerplate page mirrored 10^5-10^6 times with tiny
+    diffs — the single most common web-corpus pathology, and one exact-dedup
+    does NOT remove) shares every band key, so one bucket yields C(n,2)
+    candidate rows in one straggler task (~10^12 rows at the design point).
+    Mean-bucket planning (``simhash_index_plan``/``hyperplane_plan``) bounds
+    the AVERAGE, never this max.
+
+    Cap semantics: per bucket, the ``max_bucket`` LOWEST-id members become
+    representatives; the join emits representative x member edges only, so
+    a bucket's contribution is <= max_bucket * n rows (linear in n).
+    Buckets at or under the cap keep EXACT all-pairs output (every member
+    is a representative, so recall there is unchanged — the planned mean
+    bucket is far below any sane cap).  Oversized buckets keep
+    CONNECTIVITY: every member pairs with every representative, so
+    transitive closure (:func:`near_dup_clusters`) recovers the full
+    cluster; pairwise completeness inside a viral cluster is deliberately
+    traded away (C(n,2) pairs of one template carry no information beyond
+    membership).
+
+    Returns (rep_side, all_side).  Representatives are the bucket's lowest
+    ids, so the caller's ``rep.id < member.id`` join predicate loses
+    nothing: a non-representative id is by construction greater than every
+    representative id in its bucket.  The ranking window shuffles on the
+    SAME key as the join itself, so both join inputs reuse one exchange
+    (ReusedExchange) and the window's (key, id) sort satisfies the
+    sort-merge join's key order — the cap costs one sort, not a shuffle.
+    ``max_bucket=None`` disables capping (exact semantics at any size)."""
+    if max_bucket is None:
+        return banded, banded
+    if max_bucket < 1:
+        raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(id_col)
+    ranked = banded.withColumn("_bucket_rank", F.row_number().over(w))
+    reps = ranked.filter(F.col("_bucket_rank") <= max_bucket).drop("_bucket_rank")
+    return reps, ranked.drop("_bucket_rank")
+
+
 # ---------------------------------------------------------------------------
 # exact dedup (SQL-expressible -> has a DuckDB oracle)
 # ---------------------------------------------------------------------------
@@ -194,6 +239,7 @@ def minhash_dup_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     signatures: DataFrame | None = None,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """Candidate generation by band-bucket join, verify by signature overlap
     (estimated Jaccard = matching minhash positions / num_perm).
@@ -204,6 +250,13 @@ def minhash_dup_pairs(
     deduped on the bare id pair, then the two signatures are fetched with
     two doc_id equi-joins against the signature relation, so each surviving
     pair is verified exactly once.
+
+    ``max_bucket`` bounds the per-bucket quadratic blow-up on viral
+    template clusters (see :func:`_capped_self_join_sides`): buckets at or
+    under the cap keep exact all-pairs recall; oversized buckets emit
+    representative x member edges only, preserving cluster connectivity
+    under :func:`near_dup_clusters`.  ``None`` restores unbounded exact
+    candidate generation.
 
     ``signatures``: a precomputed (doc_id, signature, band_keys) relation —
     pass :func:`materialize_minhash_signatures`'s output to back the reuse
@@ -217,8 +270,9 @@ def minhash_dup_pairs(
         else minhash_signatures(df, id_col, text_col, num_perm, bands).cache()
     )
     banded = sigs.select(F.col("doc_id"), F.explode("band_keys").alias("band_key"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    reps, alls = _capped_self_join_sides(banded, "band_key", max_bucket)
+    a = reps.alias("a")
+    b = alls.alias("b")
     cand = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
@@ -297,6 +351,7 @@ def simhash_dup_pairs(
     n_blocks: int | None = None,
     corpus_size: int | None = None,
     target_bucket_docs: int = 64,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """All pairs within Hamming distance ``max_hamming`` of each other's
     64-bit SimHash, via a corpus-size-parameterized d-choose-k banded index
@@ -309,7 +364,15 @@ def simhash_dup_pairs(
     number in the high bits, so one exploded relation + one equi-join
     serves all tables; the shuffle rows are (key, doc_id, simhash) = 24
     bytes — the fingerprint rides along so the verify needs no second join.
-    """
+
+    ``max_bucket`` bounds viral-template buckets (d-choose-k sizes the MEAN
+    bucket; a 10^5-copy boilerplate cluster shares every table key and
+    would emit C(n,2) x tables candidate rows in one task).  Recall stays
+    exactly 1.0 whenever every bucket is at or under the cap — the planned
+    target (``target_bucket_docs``) is 16x below the default cap — and
+    oversized buckets degrade to representative linking (connectivity
+    preserved; see :func:`_capped_self_join_sides`).  ``None`` restores the
+    unconditional pigeonhole guarantee at any bucket size."""
     from ocr_spark.operators.textstats_ops import simhash_udf
 
     if n_blocks is None:
@@ -356,7 +419,8 @@ def simhash_dup_pairs(
         F.coalesce(simhash_udf(F.col(text_col)), F.lit(0)).alias("simhash"),
     )
     banded = sh.select("doc_id", "simhash", F.explode(F.array(*keys)).alias("k"))
-    a, b = banded.alias("a"), banded.alias("b")
+    reps, alls = _capped_self_join_sides(banded, "k", max_bucket)
+    a, b = reps.alias("a"), alls.alias("b")
     cand = (
         a.join(
             b,
@@ -464,6 +528,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_gram_df: int = 100,
     grams_table=None,
+    max_broadcast_hot_grams: int | None = 1_000_000,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard over candidate pairs, with gram
     document-frequency pruning so the gram equi-join is bounded at scale.
@@ -473,8 +538,16 @@ def ngram_jaccard_pairs(
     the intersection AND the per-doc sizes (a gram shared by >cap docs says
     nothing about near-duplication, and at web scale a single stop-gram like
     "of the and" otherwise creates a quadratic hot join key — VERDICT r1
-    "What's wrong" #1).  The hot-gram set is tiny by construction, so it is
-    applied as a broadcast anti-join; the DF pass itself is a map-side
+    "What's wrong" #1).  The over-cap gram set is applied as an anti-join
+    behind a GUARDED broadcast (the collect-probe pattern of
+    ``corpus_ops.decontaminate``): the Zipf head GROWS with corpus size —
+    at web scale "every common phrase in the corpus" is gigabytes of
+    strings, not a tiny set — so the probe collects up to
+    ``max_broadcast_hot_grams``+1 rows; below the cap the collected rows
+    BECOME the broadcast side (the frequency aggregate runs exactly once),
+    above it a plain shuffle anti-join recomputes the aggregate once.
+    ``max_broadcast_hot_grams=None`` broadcasts unconditionally (callers
+    that know the corpus is bounded).  The DF pass itself is a map-side
     partial-agg groupBy on the gram.
 
     Declarative throughout: explode distinct n-grams, prune, equi-join on
@@ -505,7 +578,21 @@ def ngram_jaccard_pairs(
         .filter(F.col("gram_df") > max_gram_df)
         .select("gram")
     )
-    flat = flat_all.join(F.broadcast(hot), "gram", "left_anti")
+    if max_broadcast_hot_grams is None:
+        hot_rel = F.broadcast(hot)
+    else:
+        # guarded broadcast: COLLECT up to cap+1 rows (a limit().count()
+        # cannot short-circuit below the blocking frequency aggregate, and
+        # a persisted probe would leak a cache the caller never owns);
+        # below the cap the collected rows become the broadcast side
+        probe = hot.limit(max_broadcast_hot_grams + 1).collect()
+        if len(probe) <= max_broadcast_hot_grams:
+            hot_rel = F.broadcast(
+                df.sparkSession.createDataFrame(probe, schema=hot.schema)
+            )
+        else:
+            hot_rel = hot
+    flat = flat_all.join(hot_rel, "gram", "left_anti")
     sizes = flat.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     a, b = flat.alias("a"), flat.alias("b")
     # aggregate on the BARE id pair (the candidate relation is the big one
@@ -640,6 +727,7 @@ def dedup_pipeline(
     text_col: str = "text",
     threshold: float = 0.8,
     signatures_table=None,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """The training-data dedup recipe end-to-end: exact dedup (md5) then
     MinHash-LSH near-dup clustering; returns one canonical (min-id) row per
@@ -662,7 +750,8 @@ def dedup_pipeline(
         else None
     )
     pairs = minhash_dup_pairs(
-        survivors, id_col, text_col, threshold=threshold, signatures=sigs
+        survivors, id_col, text_col, threshold=threshold, signatures=sigs,
+        max_bucket=max_bucket,
     )
     clusters = near_dup_clusters(
         survivors.select(F.col(id_col).alias("doc_id")), pairs
@@ -711,6 +800,7 @@ def embedding_dup_pairs(
     n_planes: int | None = None,
     threshold: float = 0.95,
     probe_bits: int = 0,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """Random-hyperplane LSH (seeded splitmix64-derived planes,
     deterministic) then exact cosine verify inside buckets.  JVM-side
@@ -731,7 +821,18 @@ def embedding_dup_pairs(
     single-probe LSH (VERDICT r1 "What's wrong" #5).  Cost is probe-count x
     on the (vid, bucket) key relation ONLY — 13x at radius 1, 79x at radius
     2 for 12 planes, each row 16 bytes; vectors are never replicated, they
-    are fetched per deduped surviving pair."""
+    are fetched per deduped surviving pair.
+
+    ``max_bucket`` bounds viral buckets (``hyperplane_plan`` sizes the MEAN
+    bucket; a 10^5-copy embedding cluster lands in ONE bucket and would
+    emit C(n,2) candidate rows in one task).  The build side of the join is
+    capped to the bucket's lowest-vid representatives; because the PROBE
+    side must stay uncapped (a member's flipped probes are what reach the
+    neighboring buckets), the capped join matches on ``vid != vid`` and
+    canonicalizes pairs with least/greatest — representative x member
+    coverage is then complete in both id orders, buckets at or under the
+    cap keep exact recall, oversized buckets keep connectivity.  ``None``
+    restores unbounded exact candidate generation."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -781,15 +882,31 @@ def embedding_dup_pairs(
         probe_side = sd.select("vid", F.explode(F.array(*probes)).alias("bucket"))
     else:
         probe_side = keys
-    a, b = probe_side.alias("a"), keys.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid")),
-    ).select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
-    if probe_bits >= 1:
-        # a flipped probe can rediscover a pair its exact bucket already
-        # found: verify each unordered pair once, then fetch the two vectors
-        cand = cand.dropDuplicates(["id_a", "id_b"])
+    if max_bucket is not None:
+        reps, _alls = _capped_self_join_sides(keys, "bucket", max_bucket, id_col="vid")
+        a, b = probe_side.alias("a"), reps.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vid") != F.col("b.vid")),
+            )
+            .select(
+                F.least(F.col("a.vid"), F.col("b.vid")).alias("id_a"),
+                F.greatest(F.col("a.vid"), F.col("b.vid")).alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        a, b = probe_side.alias("a"), keys.alias("b")
+        cand = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid")),
+        ).select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        if probe_bits >= 1:
+            # a flipped probe can rediscover a pair its exact bucket already
+            # found: verify each unordered pair once, then fetch the vectors
+            cand = cand.dropDuplicates(["id_a", "id_b"])
     pairs = cand.join(
         sd.select(F.col("vid").alias("id_a"), F.col("v").alias("va")), "id_a"
     ).join(sd.select(F.col("vid").alias("id_b"), F.col("v").alias("vb")), "id_b")

@@ -233,8 +233,22 @@ def _codepoints(col) -> np.ndarray:
         # fresh-from-parquet arrays have offset 0; slice defensively if not
         if arr.offset != 0:
             arr = arr.take(np.arange(len(arr)))
+        import pyarrow as pa
+
+        odt = "<i8" if pa.types.is_large_string(arr.type) else "<i4"
+        off = np.frombuffer(arr.buffers()[1], dtype=odt, count=len(arr) + 1)
         buf = arr.buffers()[2]
-        s = buf.to_pybytes().decode("utf-8") if buf is not None else ""
+        data = (
+            np.frombuffer(buf, dtype=np.uint8)
+            if buf is not None
+            else np.empty(0, np.uint8)
+        )
+        # decode ONLY the span the offsets cover: a zero-offset slice
+        # (arr.slice(0, k)) shares the FULL parent data buffer, so decoding
+        # all of it would yield more code points than len(arr) and reject
+        # valid input (ADVICE r4)
+        span = data[off[0] : off[-1]] if len(off) else data[:0]
+        s = span.tobytes().decode("utf-8")
         cps = np.frombuffer(s.encode("utf-32-le"), dtype="<u4")
         if len(cps) != len(arr):
             raise ValueError("glyph ch column must be single-code-point chars")
@@ -242,15 +256,6 @@ def _codepoints(col) -> np.ndarray:
         # balanced by a 2-code-point one passes it while mis-mapping every
         # subsequent glyph — validate PER ELEMENT (code points per element
         # = non-continuation utf-8 bytes between consecutive offsets)
-        import pyarrow as pa
-
-        odt = "<i8" if pa.types.is_large_string(arr.type) else "<i4"
-        off = np.frombuffer(arr.buffers()[1], dtype=odt, count=len(arr) + 1)
-        data = (
-            np.frombuffer(buf, dtype=np.uint8)
-            if buf is not None
-            else np.empty(0, np.uint8)
-        )
         cum = np.concatenate(([0], np.cumsum((data & 0xC0) != 0x80)))
         if not np.all(cum[off[1:]] - cum[off[:-1]] == 1):
             raise ValueError("glyph ch column must be single-code-point chars")

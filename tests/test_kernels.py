@@ -355,6 +355,7 @@ def test_classify_main_two_sweeps_equal_fixpoint_loop():
 
     from ocr_spark.functions.html_extract import (
         FUSE_MIN_WORDS,
+        MAIN_LINK_DENSITY_MAX,
         MAIN_MIN_WORDS,
         Block,
         classify_main,
@@ -362,7 +363,8 @@ def test_classify_main_two_sweeps_equal_fixpoint_loop():
 
     def fixpoint_reference(blocks):
         low_ld = [
-            (b.anchor_chars / b.raw_chars if b.raw_chars else 0.0) < 0.33
+            (b.anchor_chars / b.raw_chars if b.raw_chars else 0.0)
+            < MAIN_LINK_DENSITY_MAX
             for b in blocks
         ]
         is_main = [ld and b.n_words >= MAIN_MIN_WORDS for ld, b in zip(low_ld, blocks)]

@@ -1413,3 +1413,138 @@ def test_wav_features_unsupported_bit_depths():
         assert got["error"] == "UNSUPPORTED_BITS", width
         assert (got["peak_abs"], got["sumsq"]) == (0, 0)
         assert got["n_frames"] == 5
+
+
+# ---------------------------------------------------------------------------
+# viral-template buckets: the LSH self-join cap (VERDICT r4 "What's wrong" #2)
+# ---------------------------------------------------------------------------
+def _viral_corpus(spark, n_viral: int = 600, n_normal: int = 40):
+    """n_viral near-identical template docs (exact-dedup does NOT remove
+    them: each carries a distinct tiny suffix) + unrelated normal docs."""
+    base = (
+        "subscribe to our newsletter for daily updates about products and "
+        "services offered across all regional branches of the company "
+    ) * 4
+    rows = [(i, base + f"ref {i % 7}") for i in range(n_viral)]
+    rows += [
+        (10_000 + j, f"unique document number {j} with its own words {j * 17}")
+        for j in range(n_normal)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_bucket_cap_bounds_pairs_and_keeps_connectivity(spark):
+    from ocr_spark.operators.dedup import near_dup_clusters
+
+    df = _viral_corpus(spark)
+    n = 600
+    cap = 8
+    capped = minhash_dup_pairs(df, threshold=0.5, max_bucket=cap)
+    pairs = capped.collect()
+    # bound: per band, an oversized bucket emits <= C(cap,2) + cap*(n-cap)
+    # edges; 16 bands of the SAME cluster dedup to roughly one band's worth
+    bound = 16 * (cap * (cap - 1) // 2 + cap * n)
+    assert 0 < len(pairs) <= bound
+    assert len(pairs) < n * (n - 1) // 2  # far below all-pairs
+    # connectivity: transitive closure recovers the FULL viral cluster
+    clusters = near_dup_clusters(
+        df.select("doc_id"), capped.select("id_a", "id_b")
+    )
+    viral_labels = {
+        r["cluster_id"] for r in clusters.filter(F.col("doc_id") < 10_000).collect()
+    }
+    assert viral_labels == {0}
+    spark.catalog.clearCache()
+
+
+def test_minhash_cap_is_exact_below_cap(spark):
+    """Buckets at or under the cap keep EXACT all-pairs output: capped and
+    uncapped results are identical when no bucket overflows."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "the quick brown fox jumps over the lazy dog near the rivers"),
+        (3, "completely different text about distributed query processing"),
+        (4, "another unrelated document mentioning parquet row groups"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = sorted(map(tuple, minhash_dup_pairs(df, threshold=0.5, max_bucket=64).collect()))
+    exact = sorted(map(tuple, minhash_dup_pairs(df, threshold=0.5, max_bucket=None).collect()))
+    assert capped == exact and len(exact) >= 1
+    spark.catalog.clearCache()
+
+
+def test_simhash_bucket_cap_keeps_connectivity(spark):
+    from ocr_spark.operators.dedup import near_dup_clusters
+
+    df = _viral_corpus(spark, n_viral=300, n_normal=20)
+    capped = simhash_dup_pairs(df, n_blocks=4, max_bucket=8)
+    pairs = capped.select("id_a", "id_b")
+    assert 0 < pairs.count() < 300 * 299 // 2
+    clusters = near_dup_clusters(df.select("doc_id"), pairs)
+    viral_labels = {
+        r["cluster_id"] for r in clusters.filter(F.col("doc_id") < 10_000).collect()
+    }
+    assert viral_labels == {0}
+
+
+def test_embedding_bucket_cap_exact_below_cap_and_bounded_above(spark):
+    import random
+
+    rnd = random.Random(7)
+    # 80 vectors in one tight cluster + 20 spread
+    rows = [
+        (i, [1.0 + rnd.uniform(-1e-3, 1e-3) for _ in range(8)]) for i in range(80)
+    ]
+    rows += [(100 + j, [rnd.uniform(-1, 1) for _ in range(8)]) for j in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = sorted(
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(df, n_planes=12, max_bucket=None).collect()
+    )
+    wide = sorted(
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(df, n_planes=12, max_bucket=1024).collect()
+    )
+    assert wide == exact and len(exact) == 80 * 79 // 2
+    capped = embedding_dup_pairs(df, n_planes=12, max_bucket=4)
+    got = capped.collect()
+    # representative linking: bounded, but every member touches a rep
+    assert 0 < len(got) <= 4 * 80 + 6
+    touched = {r["id_a"] for r in got} | {r["id_b"] for r in got}
+    assert set(range(80)) <= touched
+    spark.catalog.clearCache()
+
+
+def test_ngram_hot_gram_guard_fallback_matches_broadcast(spark):
+    """Pathological corpus: EVERY gram is over-cap, so the guarded probe
+    overflows and the shuffle anti-join fallback must produce the same
+    result as the broadcast path (here: no discriminative grams -> no
+    pairs), without raising."""
+    text = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(i, text) for i in range(30)], "doc_id long, text string"
+    )
+    fb = ngram_jaccard_pairs(
+        df, n=3, threshold=0.1, max_gram_df=5, max_broadcast_hot_grams=2
+    )
+    bc = ngram_jaccard_pairs(
+        df, n=3, threshold=0.1, max_gram_df=5, max_broadcast_hot_grams=None
+    )
+    assert fb.count() == bc.count() == 0
+    spark.catalog.clearCache()
+
+
+def test_ngram_hot_gram_guard_normal_path_unchanged(spark):
+    a = "one two three four five six"
+    b = "one two three four five seven"
+    c = "totally unrelated words here now yes"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    guarded = ngram_jaccard_pairs(df, n=3, threshold=0.3).collect()
+    unconditional = ngram_jaccard_pairs(
+        df, n=3, threshold=0.3, max_broadcast_hot_grams=None
+    ).collect()
+    assert sorted(map(tuple, guarded)) == sorted(map(tuple, unconditional))
+    assert len(guarded) == 1
+    spark.catalog.clearCache()
