@@ -337,6 +337,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pages = spark.read.parquet(f"{fix}/pages.parquet")
         return extraction_report(extract_pages(pages))
 
+    def q_extract_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-(lang, error-code) histogram over the extraction output —
+        the planted taxonomy (EMPTY_INPUT / NO_CONTENT / ok) must land on
+        exactly the generator-predicted codes, not just the right total."""
+        from ocr_spark.operators.report import extraction_error_histogram
+
+        pages = spark.read.parquet(f"{fix}/pages.parquet")
+        return extraction_error_histogram(extract_pages(pages))
+
     def q_extract_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         """A1's free-text artifact, deterministic: one summary sentence per
         language assembled from integer metrics (the reference renders it
@@ -563,6 +572,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "byte_offset",
             "n_bytes",
             "frame_sha256",
+            F.coalesce(F.col("error"), F.lit("")).alias("error"),
+        )
+
+    def q_frame_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """REAL pixel decode for codec-free (fourcc 'raw ') video tracks:
+        sampled frames are interpreted as width*height RGB24 pixels (stsd
+        VisualSampleEntry geometry) — pixel sha + integer channel means vs
+        the generator's own pixel buffers.  Compressed-fourcc tracks land
+        on the declared UNSUPPORTED_CODEC sentinel."""
+        from ocr_spark.fixtures.generator import FRAME_SAMPLE_EVERY_N
+        from ocr_spark.operators.multimodal import sample_frame_pixels
+
+        media = spark.read.parquet(f"{fix}/video.parquet")
+        m = sample_frame_pixels(media, every_n=FRAME_SAMPLE_EVERY_N)
+        return m.select(
+            "media_id",
+            "frame_idx",
+            F.col("width").cast("bigint").alias("width"),
+            F.col("height").cast("bigint").alias("height"),
+            "pixel_sha256",
+            "mean_r",
+            "mean_g",
+            "mean_b",
             F.coalesce(F.col("error"), F.lit("")).alias("error"),
         )
 
@@ -836,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_normalize": q_wet_normalize,
         "ocr_attendance": q_ocr_attendance,
         "extract_report": q_extract_report,
+        "extract_errors": q_extract_errors,
         "extract_summary": q_extract_summary,
         "attendance_qa": q_attendance_qa,
         "record_update": q_record_update,
@@ -853,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "video_meta": q_video_meta,
         "frame_sample": q_frame_sample,
+        "frame_pixels": q_frame_pixels,
         "image_meta": q_image_meta,
         "sample_deterministic": q_sample_deterministic,
         "decontaminate": q_decontaminate,
@@ -1157,6 +1191,17 @@ def oracle_sql() -> dict[str, str]:
             FROM '{pages}' p JOIN '{gp}' g USING (url)
             GROUP BY p.lang
         """,
+        # per-code error histogram: the generator PREDICTS each planted
+        # doc's kernel code (expect_error_code; NULL = clean -> 'ok'), so a
+        # taxonomy drift (e.g. a parse regression reclassifying NO_CONTENT
+        # docs as PARSE_ERROR) fails this row even at constant n_errors
+        "extract_errors": f"""
+            SELECT p.lang,
+                   COALESCE(g.expect_error_code, 'ok') AS error_code,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM '{pages}' p JOIN '{gp}' g USING (url)
+            GROUP BY 1, 2
+        """,
         # A1 free text, deterministically: floor-based integer math only
         # (Spark's double->bigint cast truncates, DuckDB's rounds — FLOOR
         # agrees in both engines for the non-negative values here)
@@ -1290,6 +1335,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, frame_idx, pts_units, pts_s, byte_offset,
                    n_bytes, frame_sha256, coalesce(error, '') AS error
             FROM '{fix}/golden_frames.parquet'
+        """,
+        # frame PIXELS: the golden's sha + channel means come from the
+        # generator's own RGB buffers — matching them requires the kernel
+        # to read the stsd geometry and decode the frame bytes as pixels
+        "frame_pixels": f"""
+            SELECT media_id, frame_idx, CAST(width AS BIGINT) AS width,
+                   CAST(height AS BIGINT) AS height, pixel_sha256,
+                   mean_r, mean_g, mean_b, coalesce(error, '') AS error
+            FROM '{fix}/golden_frame_pixels.parquet'
         """,
         # image: the golden carries parameter-derived geometry plus a
         # sha256 of the RAW PIXELS the generator forward-filtered into the

@@ -17,9 +17,12 @@ Generator-side separation guarantees (so classification is provably exact):
   G2. Boilerplate blocks have either <= 2 words, or >= 50% linked chars
       (menus, copyright link rows)  -> never MAIN, never fusable (C2 needs
       link_density < 0.33).
-  G3. Pathological docs (~5%) are drawn from: empty body, boilerplate-only,
-      deeply-nested-but-normal, truncated-inside-footer, malformed markup in
-      boilerplate.  Only the first two yield text="" + expect_error.
+  G3. Pathological docs (~7%) are drawn from: empty payload (zero html
+      bytes), empty body, boilerplate-only, deeply-nested-but-normal,
+      truncated-inside-footer, malformed markup in boilerplate.  Only the
+      first three yield text="" + expect_error, each with a predicted
+      kernel error CODE (_expect_error_code: EMPTY_INPUT / NO_CONTENT)
+      backing the extract_errors histogram oracle.
 
 Tiers: tiny (~100 pages docs), small (~1000), bench (160k pages + 8k glyph docs).
 """
@@ -63,7 +66,7 @@ def join_blocks(blocks: list[str]) -> tuple[str, list[tuple[str, int, int]]]:
     return "\n".join(normed), spans
 
 SEED = 42
-FORMAT_VERSION = 29  # bump to force regeneration everywhere (v29: PDF byte-layer fixtures — gen_pdf_doc)
+FORMAT_VERSION = 30  # bump to force regeneration everywhere (v30: PDF byte-layer fixtures + per-code extraction error golden)
 
 # bench is sized so the extraction stage runs for seconds, not hundreds of
 # milliseconds, at local[32] — otherwise the ~0.3 s fixed job floor (task
@@ -302,18 +305,37 @@ def gen_pages_doc(rng: random.Random, doc_id: int, hosts: list[str]) -> dict:
     patho = rng.random()
     main_paras: list[str] = []
     expect_error = False
+    # the kernel's error CODE this doc must land on (html_extract taxonomy;
+    # None = clean) — drives the extract_errors per-code histogram oracle
+    expect_error_code: str | None = None
 
     head = f"<head><title>{rng.choice(_NAV_WORDS)}</title><style>.x{{color:red}}</style></head>"
     top = [_nav_html(rng)] + ([_ad_html(rng)] if rng.random() < 0.5 else [])
     side = [_sidebar_html(rng)] if rng.random() < 0.6 else []
     bottom = ([_short_boiler(rng)] if rng.random() < 0.4 else []) + [_footer_html(rng)]
 
-    if patho < 0.015:  # empty body
+    if patho < 0.01:  # empty payload: zero html BYTES -> EMPTY_INPUT
+        return {
+            "url": url,
+            "warc_ts": EPOCH + timedelta(seconds=doc_id),
+            "html": b"",
+            "text": None,
+            "lang": lang,
+            "_golden_text": "",
+            "_wet_text": None,
+            "_spans": [],
+            "_n_blocks": 0,
+            "_expect_error": True,
+            "_expect_error_code": "EMPTY_INPUT",
+        }
+    if patho < 0.025:  # empty body
         body_inner = ""
         expect_error = True
-    elif patho < 0.03:  # boilerplate-only
+        expect_error_code = "NO_CONTENT"
+    elif patho < 0.04:  # boilerplate-only
         body_inner = "".join(top + side + bottom)
         expect_error = True
+        expect_error_code = "NO_CONTENT"
     else:
         n_main = rng.randint(1, 8)
         main_paras = [nfc(_paragraph(rng, lang)) for _ in range(n_main)]
@@ -332,15 +354,15 @@ def gen_pages_doc(rng: random.Random, doc_id: int, hosts: list[str]) -> dict:
             pieces.insert(insert_at, f"<ul>{lis}</ul>")
             main_paras[insert_at:insert_at] = items
         main_html = "".join(pieces)
-        if patho < 0.04:  # deeply nested but normal
+        if patho < 0.05:  # deeply nested but normal
             depth = rng.randint(20, 50)
             main_html = "<div>" * depth + main_html + "</div>" * depth
-        if patho < 0.05 and patho >= 0.04:  # malformed markup in boilerplate
+        if patho < 0.06 and patho >= 0.05:  # malformed markup in boilerplate
             top.append("<div><span><b>Promo</div>")
         body_inner = "".join(top + [f"<article>{main_html}</article>"] + side + bottom)
 
     html_doc = f"<!DOCTYPE html><html>{head}<body>{body_inner}</body></html>"
-    if 0.05 <= patho < 0.06 and main_paras:  # truncated inside the footer
+    if 0.06 <= patho < 0.07 and main_paras:  # truncated inside the footer
         cut = html_doc.rfind("<footer>") + len("<footer><div>© 2")
         html_doc = html_doc[:cut]
 
@@ -376,6 +398,7 @@ def gen_pages_doc(rng: random.Random, doc_id: int, hosts: list[str]) -> dict:
         "_spans": spans,
         "_n_blocks": len(main_paras),
         "_expect_error": expect_error,
+        "_expect_error_code": expect_error_code,
     }
 
 
@@ -1090,7 +1113,12 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
     if cfg.get("audio"):
         expected += ["audio.parquet", "golden_audio.parquet"]
     if cfg.get("video"):
-        expected += ["video.parquet", "golden_video.parquet", "golden_frames.parquet"]
+        expected += [
+            "video.parquet",
+            "golden_video.parquet",
+            "golden_frames.parquet",
+            "golden_frame_pixels.parquet",
+        ]
     if cfg.get("image"):
         expected += ["image.parquet", "golden_image.parquet"]
     if cfg.get("corpus"):
@@ -1138,6 +1166,7 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
             ),
             "n_blocks": pa.array([d["_n_blocks"] for d in docs], pa.int32()),
             "expect_error": [d["_expect_error"] for d in docs],
+            "expect_error_code": [d["_expect_error_code"] for d in docs],
             # N2+N4 of the ADVERSARIAL raw crawl text (NULL when the page
             # carries none) — the wet-branch golden
             "wet_text": [d["_wet_text"] for d in docs],
@@ -1448,12 +1477,13 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
     # ---- video (ISO-BMFF binary column + parameter-derived golden) ------
     if cfg.get("video"):
         rng = random.Random(f"{seed}-video-{tier}")
-        payloads, goldens, frame_rows = [], [], []
+        payloads, goldens, frame_rows, pixel_rows = [], [], [], []
         for mid in range(cfg["video"]):
-            p, g, fr = gen_video_doc(rng, mid)
+            p, g, fr, px = gen_video_doc(rng, mid)
             payloads.append(p)
             goldens.append(g)
             frame_rows.extend(fr)
+            pixel_rows.extend(px)
         _write(
             os.path.join(out_dir, "video.parquet"),
             pa.table(
@@ -1495,6 +1525,22 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
                     "n_bytes": pa.array([r["n_bytes"] for r in frame_rows], pa.int64()),
                     "frame_sha256": [r["frame_sha256"] for r in frame_rows],
                     "error": [r["error"] for r in frame_rows],
+                }
+            ),
+        )
+        _write(
+            os.path.join(out_dir, "golden_frame_pixels.parquet"),
+            pa.table(
+                {
+                    "media_id": pa.array([r["media_id"] for r in pixel_rows], pa.int64()),
+                    "frame_idx": pa.array([r["frame_idx"] for r in pixel_rows], pa.int64()),
+                    "width": pa.array([r["width"] for r in pixel_rows], pa.int32()),
+                    "height": pa.array([r["height"] for r in pixel_rows], pa.int32()),
+                    "pixel_sha256": [r["pixel_sha256"] for r in pixel_rows],
+                    "mean_r": pa.array([r["mean_r"] for r in pixel_rows], pa.int64()),
+                    "mean_g": pa.array([r["mean_g"] for r in pixel_rows], pa.int64()),
+                    "mean_b": pa.array([r["mean_b"] for r in pixel_rows], pa.int64()),
+                    "error": [r["error"] for r in pixel_rows],
                 }
             ),
         )
@@ -1709,6 +1755,28 @@ FRAME_SAMPLE_EVERY_N = 5  # frozen sampling stride shared by the frame golden
 # and the driver's `frame_sample` query — change both together.
 
 
+def _visual_sample_entry(fourcc: bytes, w: int, h: int, depth: int = 24) -> bytes:
+    """A full 78-byte ISO-BMFF VisualSampleEntry (spec 12.1.3): reserved(6),
+    data_ref_index(2), pre_defined/reserved(16), width(2), height(2),
+    resolutions(8), reserved(4), frame_count(2), compressorname(32),
+    depth(2), pre_defined(2=-1).  The kernel
+    (multimodal._mp4_visual_entry) re-parses this layout independently."""
+    import struct
+
+    body = (
+        b"\0" * 6
+        + struct.pack(">H", 1)
+        + b"\0" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\0" * 4
+        + struct.pack(">H", 1)
+        + b"\0" * 32
+        + struct.pack(">Hh", depth, -1)
+    )
+    return _box(fourcc, body)
+
+
 def _video_track(
     timescale: int,
     stts_runs: list[tuple[int, int]],
@@ -1717,6 +1785,7 @@ def _video_track(
     chunk_offsets: list[int],
     stsz_extra: int = 0,
     drop_stco: bool = False,
+    sample_entry: bytes | None = None,
 ) -> bytes:
     """A moov/trak subtree carrying a REAL sample table
     (mdia/{mdhd,hdlr,minf/stbl/{stsd,stts,stsc,stsz,stco}}).  stts_runs =
@@ -1730,7 +1799,11 @@ def _video_track(
     duration = sum(c * d for c, d in stts_runs)
     mdhd = _box(b"mdhd", struct.pack(">BxxxIIIIHH", 0, 0, 0, timescale, duration, 0x55C4, 0))
     hdlr = _box(b"hdlr", b"\0" * 8 + b"vide" + b"\0" * 12 + b"\0")
-    stsd = _box(b"stsd", struct.pack(">BxxxI", 0, 1) + _box(b"mp4v", b"\0" * 8))
+    stsd = _box(
+        b"stsd",
+        struct.pack(">BxxxI", 0, 1)
+        + (sample_entry if sample_entry is not None else _box(b"mp4v", b"\0" * 8)),
+    )
     stts = _box(
         b"stts",
         struct.pack(">BxxxI", 0, len(stts_runs))
@@ -1758,14 +1831,20 @@ def _video_track(
 
 def gen_video_doc(
     rng: random.Random, media_id: int
-) -> tuple[bytes | None, dict, list[dict]]:
-    """Returns (payload, golden-metadata dict, golden-frame rows): ~62%
-    well-formed MP4s (ftyp + mdat + moov/{mvhd,trak}) whose trak carries a
-    REAL sample table over real frame bytes in mdat; the rest exercise the
-    container and sample-table error taxonomies.  Frame goldens (pts from
-    the stts runs, byte offsets from the chunk layout, sha256 of the frame
-    bytes) derive from layout ARITHMETIC the generator performed — never
-    from parsing the payload back."""
+) -> tuple[bytes | None, dict, list[dict], list[dict]]:
+    """Returns (payload, golden-metadata dict, golden-frame rows,
+    golden-frame-PIXEL rows): ~62% well-formed MP4s (ftyp + mdat +
+    moov/{mvhd,trak}) whose trak carries a REAL sample table over real
+    frame bytes in mdat; the rest exercise the container and sample-table
+    error taxonomies.  Frame goldens (pts from the stts runs, byte offsets
+    from the chunk layout, sha256 of the frame bytes) derive from layout
+    ARITHMETIC the generator performed — never from parsing the payload
+    back.  Half the good tracks are RAW RGB24 (stsd VisualSampleEntry
+    fourcc 'raw '): each frame is width*height*3 interleaved channel
+    bytes, so the pixel goldens (sha + integer channel means over the
+    generator's own pixel buffers) prove a real codec-free pixel decode —
+    the declared codec boundary shrinks to genuinely-compressed
+    bitstreams (fourcc 'mp4v' tracks golden to UNSUPPORTED_CODEC)."""
     import hashlib
 
     def zeros(err: str, sha: str = "") -> dict:
@@ -1781,13 +1860,25 @@ def gen_video_doc(
             "frame_sha256": "", "error": err,
         }]
 
+    def nopix(err: str) -> list[dict]:
+        return [{
+            "media_id": media_id, "frame_idx": -1, "width": 0, "height": 0,
+            "pixel_sha256": "", "mean_r": 0, "mean_g": 0, "mean_b": 0,
+            "error": err,
+        }]
+
     roll = rng.random()
     if roll < 0.06:
-        return (None if roll < 0.03 else b""), zeros("EMPTY_INPUT"), noframes("EMPTY_INPUT")
+        return (
+            (None if roll < 0.03 else b""),
+            zeros("EMPTY_INPUT"),
+            noframes("EMPTY_INPUT"),
+            nopix("EMPTY_INPUT"),
+        )
     if roll < 0.12:
         junk = b"XXXX" + bytes(rng.getrandbits(8) for _ in range(rng.randint(8, 64)))
         sha = hashlib.sha256(junk).hexdigest()
-        return junk, zeros("NOT_MP4", sha), noframes("NOT_MP4")
+        return junk, zeros("NOT_MP4", sha), noframes("NOT_MP4"), nopix("NOT_MP4")
 
     timescale = rng.choice((600, 1000, 90000))
     duration = rng.randint(1, 10 * timescale)  # up to ~10 s
@@ -1801,19 +1892,25 @@ def gen_video_doc(
         payload = ftyp + free + mdat
         z = zeros("NO_MOOV")
         z.update(major_brand="isom", sha256=hashlib.sha256(payload).hexdigest())
-        return payload, z, noframes("NO_MOOV")
+        return payload, z, noframes("NO_MOOV"), nopix("NO_MOOV")
     if roll < 0.24:  # moov present but carries neither mvhd nor trak
         mdat = _box(b"mdat", bytes(rng.getrandbits(8) for _ in range(rng.randint(16, 256))))
         payload = ftyp + _box(b"moov", _box(b"udta", b"\0" * 8)) + mdat
         z = zeros("NO_MVHD")
         z.update(major_brand="isom", sha256=hashlib.sha256(payload).hexdigest())
-        return payload, z, noframes("NO_TRAK")
+        return payload, z, noframes("NO_TRAK"), nopix("NO_TRAK")
 
     # real frame data: sizes, bytes, two stts duration runs, m chunks of c1
     # frames plus one tail chunk (stsc cannot express a short last run)
     media_ts = rng.choice((600, 1000, 12288, 30000))
     n = rng.randint(6, 48)
-    sizes = [rng.randint(8, 64) for _ in range(n)]
+    raw_track = rng.random() < 0.5  # codec-free RGB24 vs opaque 'mp4v'
+    if raw_track:
+        vw, vh = rng.randint(4, 12), rng.randint(4, 10)
+        sizes = [vw * vh * 3] * n
+    else:
+        vw = vh = 0
+        sizes = [rng.randint(8, 64) for _ in range(n)]
     frames = [bytes(rng.getrandbits(8) for _ in range(s)) for s in sizes]
     k = rng.randint(1, n - 1)
     d1, d2 = rng.randint(20, 4000), rng.randint(20, 4000)
@@ -1838,6 +1935,7 @@ def gen_video_doc(
     trak = _video_track(
         media_ts, stts_runs, stsc_entries, sizes, chunk_offsets,
         stsz_extra=stsz_extra, drop_stco=drop_stco,
+        sample_entry=_visual_sample_entry(b"raw ", vw, vh) if raw_track else None,
     )
     moov = _box(b"moov", _mvhd(version, timescale, duration) + trak + _box(b"udta", b"\0" * 4))
     payload = ftyp + free + mdat + moov
@@ -1847,7 +1945,7 @@ def gen_video_doc(
         z.update(major_brand="isom", sha256=hashlib.sha256(payload).hexdigest())
         # the truncated moov yields a clamped partial mvhd and nothing else,
         # so the frame-table walk reports the missing trak
-        return payload, z, noframes("NO_TRAK")
+        return payload, z, noframes("NO_TRAK"), nopix("NO_TRAK")
     meta = {
         "media_id": media_id,
         "major_brand": "isom",
@@ -1858,10 +1956,11 @@ def gen_video_doc(
         "error": None,
     }
     if drop_stco:
-        return payload, meta, noframes("NO_SAMPLE_TABLE")
+        return payload, meta, noframes("NO_SAMPLE_TABLE"), nopix("NO_SAMPLE_TABLE")
     if stsz_extra:
-        return payload, meta, noframes("BAD_SAMPLE_TABLE")
+        return payload, meta, noframes("BAD_SAMPLE_TABLE"), nopix("BAD_SAMPLE_TABLE")
     frame_rows = []
+    pix_rows = []
     for idx in range(0, n, FRAME_SAMPLE_EVERY_N):
         pts = idx * d1 if idx < k else k * d1 + (idx - k) * d2
         frame_rows.append({
@@ -1874,7 +1973,26 @@ def gen_video_doc(
             "frame_sha256": hashlib.sha256(frames[idx]).hexdigest(),
             "error": None,
         })
-    return payload, meta, frame_rows
+        if raw_track:
+            # pixel golden from the generator's OWN buffers: integer floor
+            # means per interleaved channel (kernel mirrors the arithmetic)
+            fb = frames[idx]
+            npx = vw * vh
+            pix_rows.append({
+                "media_id": media_id,
+                "frame_idx": idx,
+                "width": vw,
+                "height": vh,
+                "pixel_sha256": hashlib.sha256(fb).hexdigest(),
+                "mean_r": sum(fb[0::3]) // npx,
+                "mean_g": sum(fb[1::3]) // npx,
+                "mean_b": sum(fb[2::3]) // npx,
+                "error": None,
+            })
+    if not raw_track:
+        # an opaque codec track: ONE sentinel row — the declared boundary
+        pix_rows = nopix("UNSUPPORTED_CODEC")
+    return payload, meta, frame_rows, pix_rows
 
 
 # ---------------------------------------------------------------------------

@@ -818,3 +818,150 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
         .filter(F.col("error").isNull())
         .select("media_id", "frame_idx")
     )
+
+
+def _mp4_visual_entry(payload: bytes):
+    """First video track's stsd VisualSampleEntry -> (fourcc, width,
+    height, depth, error).  Parses the 78-byte spec layout (ISO-BMFF
+    12.1.3: reserved(6), data_ref_index(2), pre_defined/reserved(16),
+    width(2), height(2), resolutions(8), reserved(4), frame_count(2),
+    compressorname(32), depth(2), pre_defined(2)); the fixture generator
+    WRITES the same layout through its own builder
+    (fixtures/generator._visual_sample_entry) — independent code paths.
+    Callers gate on the sample-table walk first, so this only reports
+    NO_SAMPLE_TABLE when stsd itself is absent/short."""
+    import struct
+
+    none = ("", 0, 0, 0)
+    top = list(_mp4_boxes(payload, 0, len(payload)))
+    moov = next(((s, e) for t, s, e in top if t == b"moov"), None)
+    if moov is None:
+        return (*none, "NO_MOOV")
+    for t, ts_, te in _mp4_boxes(payload, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        mdia = next(
+            ((s, e) for t2, s, e in _mp4_boxes(payload, ts_, te) if t2 == b"mdia"),
+            None,
+        )
+        if mdia is None:
+            continue
+        sub = {}
+        for t2, s, e in _mp4_boxes(payload, mdia[0], mdia[1]):
+            sub.setdefault(t2, (s, e))
+        hdlr = sub.get(b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        minf = sub.get(b"minf")
+        if minf is None:
+            continue
+        stbl = next(
+            ((s, e) for t2, s, e in _mp4_boxes(payload, minf[0], minf[1]) if t2 == b"stbl"),
+            None,
+        )
+        if stbl is None:
+            continue
+        stsd = next(
+            ((s, e) for t2, s, e in _mp4_boxes(payload, stbl[0], stbl[1]) if t2 == b"stsd"),
+            None,
+        )
+        if stsd is None:
+            return (*none, "NO_SAMPLE_TABLE")
+        s, e = stsd
+        if e - s < 16:  # ver/flags + count + first entry header
+            return (*none, "NO_SAMPLE_TABLE")
+        entry = next(iter(_mp4_boxes(payload, s + 8, e)), None)
+        if entry is None:
+            return (*none, "NO_SAMPLE_TABLE")
+        fourcc_b, es, ee = entry
+        fourcc = fourcc_b.decode("ascii", "replace")
+        if ee - es < 78:
+            # a stub codec entry (e.g. bare mp4v): geometry unknown — the
+            # caller maps non-'raw ' fourccs to UNSUPPORTED_CODEC anyway
+            return (fourcc, 0, 0, 0, None)
+        w, h = struct.unpack_from(">HH", payload, es + 24)
+        (depth,) = struct.unpack_from(">H", payload, es + 74)
+        return (fourcc, int(w), int(h), int(depth), None)
+    return (*none, "NO_TRAK")
+
+
+FRAME_PIXELS_TYPE = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pixel_sha256", T.StringType(), False),
+        T.StructField("mean_r", T.LongType(), False),
+        T.StructField("mean_g", T.LongType(), False),
+        T.StructField("mean_b", T.LongType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def sample_frame_pixels(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """REAL pixel decode for codec-free video tracks: sample every
+    ``every_n``-th frame via the parsed sample table, read the stsd
+    VisualSampleEntry, and for fourcc ``'raw '`` interpret the frame bytes
+    as width*height RGB24 interleaved pixels — per-frame pixel sha256 plus
+    integer channel means (floor), proving the bytes were decoded as
+    pixels, not just hashed.  This shrinks the declared codec boundary to
+    genuinely-compressed bitstreams: any other fourcc yields one sentinel
+    row ``UNSUPPORTED_CODEC`` (decoding H.264 et al. without codec
+    libraries stays out of scope); a raw frame whose size disagrees with
+    the stsd geometry yields ``BAD_FRAME_SIZE`` for that frame.  E6
+    semantics throughout — errors ride rows, never exceptions."""
+    import numpy as np
+
+    def fn(batches):
+        for pdf in batches:
+            out = {k.name: [] for k in FRAME_PIXELS_TYPE.fields}
+
+            def sentinel(mid, err):
+                for k, v in zip(
+                    out, (int(mid), -1, 0, 0, "", 0, 0, 0, err)
+                ):
+                    out[k].append(v)
+
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                ts, pts, offs, sizes, err = _mp4_sample_table(p)
+                if err is not None:
+                    sentinel(mid, err)
+                    continue
+                fourcc, w, h, depth, verr = _mp4_visual_entry(p)
+                if verr is not None:
+                    sentinel(mid, verr)
+                    continue
+                if fourcc != "raw " or w <= 0 or h <= 0:
+                    sentinel(mid, "UNSUPPORTED_CODEC")
+                    continue
+                npx = w * h
+                for idx in range(0, len(sizes), every_n):
+                    o, sz = int(offs[idx]), int(sizes[idx])
+                    fb = p[o : o + sz]
+                    if sz != npx * 3:
+                        for k, v in zip(
+                            out,
+                            (int(mid), idx, w, h, "", 0, 0, 0, "BAD_FRAME_SIZE"),
+                        ):
+                            out[k].append(v)
+                        continue
+                    arr = np.frombuffer(fb, dtype=np.uint8).reshape(npx, 3)
+                    sums = arr.sum(axis=0, dtype=np.int64)
+                    row = (
+                        int(mid),
+                        idx,
+                        w,
+                        h,
+                        hashlib.sha256(fb).hexdigest(),
+                        int(sums[0]) // npx,
+                        int(sums[1]) // npx,
+                        int(sums[2]) // npx,
+                        None,
+                    )
+                    for k, v in zip(out, row):
+                        out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(fn, FRAME_PIXELS_TYPE)

@@ -32,6 +32,23 @@ def extraction_report(extracted: DataFrame) -> DataFrame:
     )
 
 
+def extraction_error_histogram(extracted: DataFrame) -> DataFrame:
+    """Per-(lang, error-code) doc counts over an EXTRACTED_SCHEMA table —
+    the operational view that distinguishes the PLANTED error taxonomy
+    from drift (r4 VERDICT item 8: n_errors alone cannot tell a thousand
+    expected NO_CONTENT docs from a thousand new PARSE_ERRORs).  Codes are
+    normalized to their taxonomy prefix (``DOC_TOO_LARGE:123`` ->
+    ``DOC_TOO_LARGE``); clean docs count under ``ok``.  One map-side
+    partial-agg shuffle on a tiny (lang x code) key space."""
+    code = F.when(F.col("error").isNull(), F.lit("ok")).otherwise(
+        F.substring_index("error", ":", 1)
+    )
+    return (
+        extracted.groupBy("lang", code.alias("error_code"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
 def extraction_summary(extracted: DataFrame) -> DataFrame:
     """A1's free-text artifact, deterministically: one human-readable
     summary SENTENCE per language built from the report metrics by pure

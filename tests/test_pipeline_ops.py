@@ -1548,3 +1548,76 @@ def test_ngram_hot_gram_guard_normal_path_unchanged(spark):
     assert sorted(map(tuple, guarded)) == sorted(map(tuple, unconditional))
     assert len(guarded) == 1
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# frame PIXEL decode (codec-free raw RGB24 track)
+# ---------------------------------------------------------------------------
+def test_frame_pixels_match_parameter_golden(spark, tiny_dir):
+    """Kernel-decoded pixel sha + channel means over raw-RGB tracks must
+    equal the generator's parameter-derived golden (and compressed tracks
+    must land on the declared UNSUPPORTED_CODEC sentinel)."""
+    from ocr_spark.fixtures.generator import FRAME_SAMPLE_EVERY_N
+    from ocr_spark.operators.multimodal import sample_frame_pixels
+
+    media = spark.read.parquet(f"{tiny_dir}/video.parquet")
+    got = {
+        (r["media_id"], r["frame_idx"]): (
+            r["width"], r["height"], r["pixel_sha256"],
+            r["mean_r"], r["mean_g"], r["mean_b"], r["error"],
+        )
+        for r in sample_frame_pixels(media, every_n=FRAME_SAMPLE_EVERY_N).collect()
+    }
+    want = {
+        (r["media_id"], r["frame_idx"]): (
+            r["width"], r["height"], r["pixel_sha256"],
+            r["mean_r"], r["mean_g"], r["mean_b"], r["error"],
+        )
+        for r in spark.read.parquet(
+            f"{tiny_dir}/golden_frame_pixels.parquet"
+        ).collect()
+    }
+    assert got == want
+    errs = {v[6] for v in got.values()}
+    assert None in errs  # real decoded pixels present
+    assert "UNSUPPORTED_CODEC" in errs  # the declared boundary present
+
+
+def test_frame_pixels_bad_frame_size(spark):
+    """A raw track whose stsz sizes disagree with the stsd geometry must
+    flag BAD_FRAME_SIZE per frame, never raise or emit garbage pixels."""
+    from ocr_spark.fixtures.generator import (
+        _box,
+        _mvhd,
+        _video_track,
+        _visual_sample_entry,
+    )
+    from ocr_spark.operators.multimodal import (
+        _mp4_sample_table,
+        _mp4_visual_entry,
+    )
+
+    sizes = [10, 10]  # != 4*2*3
+    frames = b"\x01" * 10 + b"\x02" * 10
+    ftyp = _box(b"ftyp", b"isom" + b"\0\0\0\1" + b"mp42")
+    mdat = _box(b"mdat", frames)
+    base = len(ftyp) + 8
+    trak = _video_track(
+        1000, [(2, 40)], [(1, 2)], sizes, [base],
+        sample_entry=_visual_sample_entry(b"raw ", 4, 2),
+    )
+    payload = ftyp + mdat + _box(b"moov", _mvhd(0, 600, 80) + trak)
+    ts, pts, offs, szs, err = _mp4_sample_table(payload)
+    assert err is None
+    fourcc, w, h, depth, verr = _mp4_visual_entry(payload)
+    assert (fourcc, w, h, depth, verr) == ("raw ", 4, 2, 24, None)
+    from ocr_spark.operators.multimodal import sample_frame_pixels
+
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(payload), "video/mp4")],
+        "media_id long, kind string, payload binary, content_type string",
+    )
+    rows = sample_frame_pixels(media, every_n=1).collect()
+    assert len(rows) == 2
+    assert all(r["error"] == "BAD_FRAME_SIZE" for r in rows)
+    assert all(r["pixel_sha256"] == "" for r in rows)
