@@ -331,6 +331,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size("fields.présences").cast("bigint").alias("n_students"),
         )
 
+    def q_pdf_attendance(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The reference's ACTUAL workflow from its titular format, end to
+        end: PDF bytes -> stdlib parse (P1-P8) -> glyph boxes -> XY-cut
+        reading order -> label-anchored structured fields (reference:
+        page.tsx:444-452 upload -> extract-data-from-pdf.ts OCR+structuring).
+        Same golden as the attendance branch — byte identity through FOUR
+        chained stages from raw document bytes."""
+        from ocr_spark.operators.attendance import attendance_records
+        from ocr_spark.operators.layout_ops import (
+            glyphs_to_page_text,
+            pages_to_doc_text,
+        )
+        from ocr_spark.operators.pdf_ops import pdf_to_glyphs
+
+        pdfs = spark.read.parquet(f"{fix}/attendance_pdfs.parquet")
+        glyphs = pdf_to_glyphs(pdfs).filter(F.col("error").isNull()).drop("error")
+        doc_text = pages_to_doc_text(
+            glyphs_to_page_text(glyphs, clustered_input=True)
+        )
+        keyed = doc_text.join(
+            F.broadcast(pdfs.select("doc_id", "url")), "doc_id"
+        ).select("url", "text")
+        r = attendance_records(keyed, text_col="text")
+        return r.select(
+            "url",
+            F.col("fields.classe").alias("classe"),
+            F.col("fields.nombre_des_présents").alias("nombre_des_présents"),
+            F.col("fields.salle_n").alias("salle_n"),
+            F.size("fields.présences").cast("bigint").alias("n_students"),
+        )
+
     def q_extract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ocr_spark.operators.report import extraction_report
 
@@ -867,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attendance_json": q_attendance_json,
         "wet_normalize": q_wet_normalize,
         "ocr_attendance": q_ocr_attendance,
+        "pdf_attendance": q_pdf_attendance,
         "extract_report": q_extract_report,
         "extract_errors": q_extract_errors,
         "extract_summary": q_extract_summary,
@@ -1175,6 +1207,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE coalesce(wet_text, '') != ''
         """,
         "ocr_attendance": f"""
+            SELECT url, classe, "nombre_des_présents", salle_n,
+                   CAST(len("présences") AS BIGINT) AS n_students
+            FROM '{ga}'
+        """,
+        # the full reference workflow from PDF BYTES (parse -> glyphs ->
+        # reading order -> fields) must land the same structured golden
+        "pdf_attendance": f"""
             SELECT url, classe, "nombre_des_présents", salle_n,
                    CAST(len("présences") AS BIGINT) AS n_students
             FROM '{ga}'

@@ -63,6 +63,122 @@ BENCH_QUERIES = [
 ]
 
 
+# 10x tier for the shuffle-bound dedup/corpus family ONLY (r4 VERDICT
+# item 6): at sf0.1 most of these run <1 s and fixed overheads drown plan
+# differences (the r3->r4 cache artifacts hid in exactly that noise).  The
+# headline stays sf0.1 for cross-round comparability.
+SF1_QUERIES = [
+    "dedup_exact",
+    "minhash_pairs",
+    "simhash_pairs",
+    "ngram_jaccard",
+    "embedding_dups",
+    "dedup_pipeline",
+    "decontaminate",
+    "unigram_logprob",
+    "repetition",
+    "pack_sequences",
+    "token_stats",
+    "lang_id",
+    "quality",
+]
+
+
+def ensure_sf1(sf_dir: str) -> str:
+    """Deterministic 10x scale-up of the driver's documents/embeddings
+    tables (no external data): copy 0 verbatim; copies 1-2 append a
+    copy-tagged suffix (NEAR-dups of copy 0 — realistic template clusters
+    the dedup family must price); copies 3-9 deterministically shuffle the
+    word order per doc (same vocabulary, decorrelated shingles/grams) and
+    perturb embeddings with seeded noise (decorrelated vectors).  Written
+    under the gitignored fixtures/ data dir, rebuilt only when the
+    manifest drifts."""
+    import hashlib
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(repo, "fixtures", "sf1")
+    man_path = os.path.join(out, "_MANIFEST.json")
+    manifest = {"source": sf_dir, "copies": 10, "version": 1}
+    expected = ["documents.parquet", "embeddings.parquet"]
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            if json.load(f) == manifest and all(
+                os.path.exists(os.path.join(out, e)) for e in expected
+            ):
+                return out
+    os.makedirs(out, exist_ok=True)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    cols = {n: docs[n].to_pylist() for n in docs.schema.names}
+    big = {n: [] for n in docs.schema.names}
+    for copy in range(10):
+        off = copy * 100_000_000
+        for i in range(docs.num_rows):
+            text = cols["text"][i] or ""
+            if copy == 0:
+                pass
+            elif copy <= 2:
+                text = f"{text} copydup {copy}"
+            else:
+                words = text.split()
+                random.Random(f"{copy}-{cols['doc_id'][i]}").shuffle(words)
+                text = " ".join(words)
+            big["doc_id"].append(cols["doc_id"][i] + off)
+            big["text"].append(text)
+            big["lang"].append(cols["lang"][i])
+            big["source"].append(cols["source"][i])
+            big["n_chars"].append(len(text))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(big["doc_id"], pa.int64()),
+                "text": big["text"],
+                "lang": big["lang"],
+                "source": big["source"],
+                "n_chars": pa.array(big["n_chars"], pa.int64()),
+            }
+        ),
+        os.path.join(out, "documents.parquet"),
+        compression="zstd",
+    )
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vec_ids = emb["vec_id"].to_pylist()
+    vecs = np.array(emb["embedding"].to_pylist(), dtype=np.float32)
+    labels = emb["label"].to_pylist()
+    out_ids, out_vecs, out_labels = [], [], []
+    for copy in range(10):
+        off = copy * 100_000_000
+        if copy == 0:
+            v = vecs
+        elif copy <= 2:
+            v = vecs  # verbatim copies: genuine near-dups (cosine 1.0)
+        else:
+            seed = int(hashlib.sha256(f"sf1-{copy}".encode()).hexdigest()[:8], 16)
+            noise = np.random.default_rng(seed).standard_normal(vecs.shape)
+            v = (vecs + noise.astype(np.float32)).astype(np.float32)
+        out_ids.extend(i + off for i in vec_ids)
+        out_vecs.extend(v.tolist())
+        out_labels.extend(labels)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(out_ids, pa.int64()),
+                "embedding": pa.array(out_vecs, pa.list_(pa.float32())),
+                "label": pa.array(out_labels, pa.int32()),
+            }
+        ),
+        os.path.join(out, "embeddings.parquet"),
+        compression="zstd",
+    )
+    with open(man_path, "w") as f:
+        json.dump(manifest, f)
+    return out
+
+
 def run_extraction_bench(spark, bench_dir: str) -> dict:
     pages = spark.read.parquet(f"{bench_dir}/pages.parquet")
     n_docs, html_mb = [
@@ -137,6 +253,47 @@ def run_layout_bench(spark, bench_dir: str) -> dict:
     }
 
 
+def run_pdf_bench(spark, bench_dir: str) -> dict:
+    """Engine-A byte layer at the bench tier: raw PDF bytes -> glyphs ->
+    XY-cut reading-order text, fused in one zero-Exchange Python pass
+    (4000 multi-page documents)."""
+    from ocr_spark.operators.pdf_ops import pdf_to_page_text
+
+    docs = spark.read.parquet(f"{bench_dir}/pdf_docs.parquet")
+    n_docs, pdf_mb = [
+        (r["n"], r["mb"])
+        for r in docs.agg(
+            F.count(F.lit(1)).alias("n"), (F.sum(F.length("pdf")) / 1e6).alias("mb")
+        ).collect()
+    ][0]
+
+    def run() -> tuple[float, int]:
+        t0 = time.time()
+        out = (
+            pdf_to_page_text(docs)
+            .agg(
+                F.count(F.lit(1)).alias("pages"),
+                F.sum(F.length("text")).alias("chars"),
+                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errs"),
+            )
+            .collect()[0]
+        )
+        return time.time() - t0, int(out["pages"])
+
+    cold, n_pages = run()
+    warm = min(run()[0] for _ in range(2))
+    return {
+        "pdf_sec": round(warm, 3),
+        "cold_sec": round(cold, 3),
+        "docs": int(n_docs),
+        "pdf_mb": round(float(pdf_mb), 2),
+        "pages": n_pages,
+        "docs_per_sec": round(n_docs / warm, 1),
+        "pages_per_sec": round(n_pages / warm, 1),
+        "mb_per_sec": round(float(pdf_mb) / warm, 2),
+    }
+
+
 def run_lineclean_bench(spark, bench_dir: str) -> dict:
     """Line-level cleanup at the bench corpus tier (120k planted-phenomena
     web-text docs): PII redaction (pure JVM regexp, scan-stage) and
@@ -187,11 +344,13 @@ def main() -> None:
 
     ext = run_extraction_bench(spark, bench_dir)
     lay = run_layout_bench(spark, bench_dir)
+    pdf = run_pdf_bench(spark, bench_dir)
     lc = run_lineclean_bench(spark, bench_dir)
 
     qtimes: dict[str, float] = {
         "extract_bench": ext["extract_sec"],
         "layout_bench": lay["layout_sec"],
+        "pdf_bench": pdf["pdf_sec"],
         "pii_redact_bench": lc["pii_sec"],
         "boilerplate_bench": lc["boiler_sec"],
     }
@@ -230,6 +389,19 @@ def main() -> None:
         qtimes[name] = round(best, 3)
         spark.catalog.clearCache()
 
+    # 10x tier for the shuffle-bound family: single shot per query (these
+    # run seconds-to-tens-of-seconds; the point is plan behavior under 10x
+    # data, not microbenchmark noise), cache cleared per query
+    sf1_dir = ensure_sf1(sf_dir)
+    sf1_docs = spark.read.parquet(f"{sf1_dir}/documents.parquet").count()
+    qtimes_sf1: dict[str, float] = {}
+    for name in SF1_QUERIES:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        qs[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
+        qtimes_sf1[name] = round(time.time() - t0, 3)
+    spark.catalog.clearCache()
+
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
         sf = float(base.replace("sf", "")) if base.startswith("sf") else sf_dir
@@ -244,9 +416,12 @@ def main() -> None:
                 "value": ext["extract_sec"],
                 "unit": "sec",
                 "queries": qtimes,
+                "queries_sf1": qtimes_sf1,
+                "sf1_docs": int(sf1_docs),
                 "sf": sf,
                 "extract": ext,
                 "layout": lay,
+                "pdf": pdf,
                 "lineclean": lc,
                 "cores": cores,
             }

@@ -1107,6 +1107,7 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
             "golden_attendance_rows.parquet",
             "attendance_glyphs.parquet",
             "attendance_glyph_docs.parquet",
+            "attendance_pdfs.parquet",
         ]
     if cfg["warc_files"]:
         expected += ["warc", "wet"]
@@ -1367,6 +1368,39 @@ def generate_tier(tier: str, out_dir: str, seed: int = SEED) -> dict:
                 {
                     "doc_id": pa.array([m[0] for m in ag_map], pa.int64()),
                     "url": [m[1] for m in ag_map],
+                }
+            ),
+        )
+
+    # ---- attendance docs rendered as PDF FILES (the reference's actual
+    #      workflow: upload PDF -> OCR -> structured fields; engine-A chain
+    #      from raw bytes) -------------------------------------------------
+    if cfg["attendance"]:
+        rng = random.Random(f"{seed}-attpdf-{tier}")
+        ap_rows: list[tuple] = []
+        for did, (doc, _g) in enumerate(pairs):
+            doc_lines = doc["doc_text"].splitlines()
+            page_chunks = [doc_lines[i : i + 14] for i in range(0, len(doc_lines), 14)]
+            contents = []
+            for chunk in page_chunks:
+                r = _PdfPageRender(rng, "Courier", "td", media_top=792.0)
+                y = 100.0
+                for line in chunk:
+                    if line.strip():
+                        r.line(72.0, y + (rng.random() - 0.5), line)
+                    y += 12.0
+                contents.append(r.content())
+            pdf = _pdf_build_file(
+                rng, contents, inherited_attrs=True, nested_tree=False
+            )
+            ap_rows.append((did, doc["url"], pdf))
+        _write(
+            os.path.join(out_dir, "attendance_pdfs.parquet"),
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in ap_rows], pa.int64()),
+                    "url": [r[1] for r in ap_rows],
+                    "pdf": pa.array([r[2] for r in ap_rows], pa.binary()),
                 }
             ),
         )

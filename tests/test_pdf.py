@@ -272,3 +272,35 @@ def test_flate_and_raw_streams_both_present(spark, pdf_tables):
         if r["error"]
     }
     assert len(errors) >= 3
+
+
+def test_pdf_attendance_end_to_end(spark, tiny_dir):
+    """The reference's actual workflow from its titular format: PDF bytes
+    -> parse -> glyphs -> XY-cut reading order -> label-anchored fields ==
+    the attendance golden (four chained stages, byte-identity)."""
+    from pyspark.sql import functions as FF
+
+    from ocr_spark.operators.attendance import attendance_records
+    from ocr_spark.operators.layout_ops import (
+        glyphs_to_page_text,
+        pages_to_doc_text,
+    )
+    from ocr_spark.operators.pdf_ops import pdf_to_glyphs
+
+    pdfs = spark.read.parquet(f"{tiny_dir}/attendance_pdfs.parquet")
+    glyphs = pdf_to_glyphs(pdfs).filter(FF.col("error").isNull()).drop("error")
+    doc_text = pages_to_doc_text(glyphs_to_page_text(glyphs, clustered_input=True))
+    keyed = doc_text.join(pdfs.select("doc_id", "url"), "doc_id").select("url", "text")
+    got = {
+        r["url"]: (
+            r["fields"]["classe"],
+            r["fields"]["nombre_des_présents"],
+            len(r["fields"]["présences"]),
+        )
+        for r in attendance_records(keyed, text_col="text").collect()
+    }
+    want = {
+        r["url"]: (r["classe"], r["nombre_des_présents"], len(r["présences"]))
+        for r in spark.read.parquet(f"{tiny_dir}/golden_attendance.parquet").collect()
+    }
+    assert got == want and len(got) > 0
