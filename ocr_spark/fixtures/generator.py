@@ -66,7 +66,7 @@ def join_blocks(blocks: list[str]) -> tuple[str, list[tuple[str, int, int]]]:
     return "\n".join(normed), spans
 
 SEED = 42
-FORMAT_VERSION = 30  # bump to force regeneration everywhere (v30: PDF byte-layer fixtures + per-code extraction error golden)
+FORMAT_VERSION = 31  # bump to force regeneration everywhere (v31: PDF incremental-update (/Prev) variants)
 
 # bench is sized so the extraction stage runs for seconds, not hundreds of
 # milliseconds, at local[32] — otherwise the ~0.3 s fixed job floor (task
@@ -744,12 +744,20 @@ def _pdf_build_file(
     bad_startxref: bool = False,
     filter_override: str | None = None,
     corrupt_flate: bool = False,
+    stale_last_page: bytes | None = None,
 ) -> bytes:
     """Assemble a classic-xref PDF.  Object write order is shuffled (the
     xref table, not file order, locates objects); streams are Flate (50%)
     or raw; /Length is sometimes an indirect ref; /Contents is sometimes a
     2-stream array; /MediaBox + /Resources sit on the Pages node
-    (inherited) or on each page."""
+    (inherited) or on each page.
+
+    ``stale_last_page``: builds an INCREMENTAL UPDATE — the base file
+    carries this content for the last page, then an appended section
+    redefines that content object with ``page_contents[-1]``, adds a
+    second xref listing only the changed object, and a trailer whose
+    /Prev points at the base table.  The kernel (P2) must walk the chain
+    newest-first, so the effective document shows the UPDATED content."""
     objs: dict[int, bytes] = {}
     next_num = 5  # 1 catalog, 2 pages root, 3 F1 Courier, 4 F2 Helvetica
 
@@ -759,7 +767,7 @@ def _pdf_build_file(
         next_num += 1
         return n
 
-    def stream_obj(body: bytes) -> int:
+    def stream_obj(body: bytes, force_inline_len: bool = False) -> int:
         nonlocal next_num
         use_flate = filter_override is not None or corrupt_flate or rng.random() < 0.5
         extra = ""
@@ -773,7 +781,10 @@ def _pdf_build_file(
         else:
             data = body
         num = alloc()
-        if rng.random() < 0.2:  # /Length as an indirect reference
+        if not force_inline_len and rng.random() < 0.2:
+            # /Length as an indirect reference (never for the updated
+            # object: its replacement carries a new length inline, and a
+            # stale indirect length would mis-slice the new stream)
             len_num = alloc()
             objs[len_num] = str(len(data)).encode()
             ldict = f"<< /Length {len_num} 0 R{extra} >>"
@@ -784,15 +795,23 @@ def _pdf_build_file(
 
     attrs = b" /MediaBox [0 0 612 792] /Resources << /Font << /F1 3 0 R /F2 4 0 R >> >>"
     page_nums = []
-    for body in page_contents:
+    last_content_num = None
+    bodies = list(page_contents)
+    if stale_last_page is not None:
+        bodies[-1] = stale_last_page
+    for pi, body in enumerate(bodies):
+        is_update_target = stale_last_page is not None and pi == len(bodies) - 1
         nl = body.find(b"\n", len(body) // 2)
-        if rng.random() < 0.2 and 0 < nl < len(body) - 3:
+        if not is_update_target and rng.random() < 0.2 and 0 < nl < len(body) - 3:
             # /Contents as an array of two streams (joined by the kernel)
             c1 = stream_obj(body[:nl])
             c2 = stream_obj(body[nl + 1 :])
             contents = f"[{c1} 0 R {c2} 0 R]"
         else:
-            contents = f"{stream_obj(body)} 0 R"
+            cnum = stream_obj(body, force_inline_len=is_update_target)
+            if is_update_target:
+                last_content_num = cnum
+            contents = f"{cnum} 0 R"
         pnum = alloc()
         page_attrs = b"" if inherited_attrs else attrs
         objs[pnum] = (
@@ -843,6 +862,24 @@ def _pdf_build_file(
         f"trailer\n<< /Size {maxn + 1} /Root 1 0 R >>\n"
         f"startxref\n{start}\n%%EOF"
     ).encode()
+    if stale_last_page is not None:
+        # incremental update: redefine the last page's content object with
+        # the REAL content, new xref section, trailer /Prev -> base table
+        upd_body = page_contents[-1]
+        use_flate = rng.random() < 0.5
+        data = zlib.compress(upd_body) if use_flate else upd_body
+        extra = " /Filter /FlateDecode" if use_flate else ""
+        buf += b"\n"
+        upd_off = len(buf)
+        buf += (
+            f"{last_content_num} 0 obj\n<< /Length {len(data)}{extra} >>\nstream\n"
+        ).encode() + data + b"\nendstream\nendobj\n"
+        xref2 = len(buf)
+        buf += (
+            f"xref\n{last_content_num} 1\n{upd_off:010d} 00000 n \n"
+            f"trailer\n<< /Size {maxn + 1} /Root 1 0 R /Prev {xref_off} >>\n"
+            f"startxref\n{xref2}\n%%EOF"
+        ).encode()
     return bytes(buf)
 
 
@@ -933,6 +970,14 @@ def gen_pdf_doc(rng: random.Random, doc_id: int):
             glyph_rows.append((page, gid, ch, x0, y0, x1, y1))
             gid += 1
 
+    stale = None
+    if kind is None and rng.random() < 0.15:
+        # incremental-update variant: the base file carries a draft last
+        # page; the appended update section holds the REAL content whose
+        # glyphs the golden already mirrors — the kernel must walk /Prev
+        draft = _PdfPageRender(rng, font, "td", media_top=792.0)
+        draft.line(72.0, BODY_TOP, f"draft pending replacement {doc_id}")
+        stale = draft.content()
     pdf = _pdf_build_file(
         rng,
         contents,
@@ -941,6 +986,7 @@ def gen_pdf_doc(rng: random.Random, doc_id: int):
         bad_startxref=kind == "bad_xref_offset",
         filter_override="LZWDecode" if kind == "unsupported_filter" else None,
         corrupt_flate=kind == "bad_stream",
+        stale_last_page=stale,
     )
     if kind == "bad_xref_truncated":
         pdf = pdf[: int(len(pdf) * 0.7)]

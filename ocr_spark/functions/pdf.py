@@ -20,7 +20,10 @@ parsing — the same two-sided design as the PNG/WAV/MP4 kernels.
   P2. The last ``startxref`` in the file tail names the byte offset of a
       CLASSIC cross-reference table (``xref`` keyword, subsection headers
       ``start count``, 20-byte-style entries, then ``trailer`` << dict >>).
-      Failure to locate/parse it, a missing /Root, or an entry offset that
+      Trailers may chain via /Prev (incremental updates): tables are
+      walked newest-first, the NEWEST entry per object wins, and the
+      newest trailer's /Root governs.  A /Prev loop, failure to
+      locate/parse a table, a missing /Root, or an entry offset that
       does not start the referenced object -> ``bad_xref``.
   P3. Objects are ``N G obj <value> endobj`` over the standard token
       grammar: dicts, arrays, names, numbers, literal + hex strings,
@@ -354,8 +357,29 @@ class _Document:
             off = lx.value()
         except PdfError:
             raise PdfError("bad_xref", "unreadable startxref offset")
-        if not isinstance(off, int) or not (0 <= off < len(self.data)):
-            raise PdfError("bad_xref", f"startxref offset {off!r} out of range")
+        # walk the /Prev chain newest-first: the NEWEST entry per object
+        # wins (incremental updates append a new table whose entries
+        # override the base file's), the newest trailer governs
+        seen_tables: set[int] = set()
+        while True:
+            if not isinstance(off, int) or not (0 <= off < len(self.data)):
+                raise PdfError("bad_xref", f"xref offset {off!r} out of range")
+            if off in seen_tables:
+                raise PdfError("bad_xref", "/Prev chain loop")
+            seen_tables.add(off)
+            trailer = self._parse_one_xref(off)
+            if not self.trailer:
+                self.trailer = trailer
+            prev = trailer.get("Prev")
+            if prev is None:
+                break
+            off = prev
+        if not isinstance(self.trailer, dict) or "Root" not in self.trailer:
+            raise PdfError("bad_xref", "trailer missing /Root")
+
+    def _parse_one_xref(self, off: int) -> dict:
+        """One classic xref table + trailer at ``off``; entries are added
+        with setdefault so earlier (newer) tables win."""
         lx = _Lexer(self.data, off)
         try:
             lx.expect_keyword("xref")
@@ -366,7 +390,7 @@ class _Document:
                 word = lx.peek_keyword()
                 if word == "trailer":
                     lx.expect_keyword("trailer")
-                    self.trailer = lx.value()
+                    trailer = lx.value()
                     break
                 start = lx.value()
                 count = lx.value()
@@ -379,13 +403,14 @@ class _Document:
                     kind = self.data[lx.pos : lx.pos + 1]
                     lx.pos += 1
                     if kind == b"n":
-                        self.offsets[start + k] = entry_off
+                        self.offsets.setdefault(start + k, entry_off)
                     elif kind != b"f":
                         raise PdfError("bad_xref", f"bad entry kind {kind!r}")
         except PdfError as e:
             raise PdfError("bad_xref", str(e))
-        if not isinstance(self.trailer, dict) or "Root" not in self.trailer:
-            raise PdfError("bad_xref", "trailer missing /Root")
+        if not isinstance(trailer, dict):
+            raise PdfError("bad_xref", "trailer is not a dict")
+        return trailer
 
     # -- objects ------------------------------------------------------------
     def resolve(self, v):

@@ -304,3 +304,41 @@ def test_pdf_attendance_end_to_end(spark, tiny_dir):
         for r in spark.read.parquet(f"{tiny_dir}/golden_attendance.parquet").collect()
     }
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# incremental updates (/Prev chains, P2)
+# ---------------------------------------------------------------------------
+def test_incremental_update_newest_entry_wins():
+    """An incremental doc must show the UPDATED content; the base portion
+    alone (file cut at the first %%EOF — exactly what an un-updated reader
+    would have seen) must show the stale draft."""
+    rng = random.Random("incr")
+    for d in range(200):
+        pdf, grows, trows, err = gen.gen_pdf_doc(rng, d)
+        if err is None and pdf.count(b"startxref") > 1:
+            break
+    else:
+        pytest.fail("no incremental doc generated in 200 draws")
+    full_rows, e = pdf_glyphs(pdf)
+    assert e is None
+    base = pdf[: pdf.index(b"%%EOF") + 5]
+    base_rows, eb = pdf_glyphs(base)
+    assert eb is None
+    full_text = "".join(r[1] for r in full_rows)
+    base_text = "".join(r[1] for r in base_rows)
+    assert "draftpendingreplacement" in base_text.replace(" ", "")
+    assert "draftpendingreplacement" not in full_text.replace(" ", "")
+    # and the full parse equals the golden (update content mirrored)
+    krows = [(p, i, ch, x0, y0, x1, y1) for i, (p, ch, x0, y0, x1, y1) in enumerate(full_rows)]
+    assert krows == grows
+
+
+def test_prev_chain_loop_is_bad_xref():
+    pdf = _minimal_pdf()
+    i = pdf.rindex(b"startxref")
+    off = int(pdf[i + len(b"startxref") : pdf.index(b"%%EOF", i)].strip())
+    looped = pdf.replace(
+        b"/Root 1 0 R >>", b"/Root 1 0 R /Prev " + str(off).encode() + b" >>", 1
+    )
+    assert pdf_glyphs(looped)[1] == "bad_xref"

@@ -1000,7 +1000,7 @@ def test_mp4_sample_table_differential():
     seen = set()
     wellformed = None
     for mid in range(400):
-        p, _, want = gen_video_doc(rng, mid)
+        p, _, want, _px = gen_video_doc(rng, mid)
         ts, pts, offs, sizes, err = _mp4_sample_table(p)
         if err is not None:
             got = [{
