@@ -678,4 +678,12 @@ def pdf_glyphs(payload: bytes | None):
         return [], e.code
     except RecursionError:
         return [], "bad_obj"
+    except Exception:  # noqa: BLE001 — E6: a malformed file must land in
+        # the error channel, never abort the batch.  Typed PdfErrors cover
+        # every ANTICIPATED violation; this catches the grammar's long
+        # tail (an operator fed a number where a string belongs ->
+        # TypeError, a bytes operand to float() -> ValueError, ...).
+        # Masked kernel defects still surface: the golden oracles compare
+        # full row content, so a wrongly-errored document fails them.
+        return [], "bad_obj"
     return rows, None

@@ -342,3 +342,31 @@ def test_prev_chain_loop_is_bad_xref():
         b"/Root 1 0 R >>", b"/Root 1 0 R /Prev " + str(off).encode() + b" >>", 1
     )
     assert pdf_glyphs(looped)[1] == "bad_xref"
+
+
+def test_mutation_fuzz_never_raises_and_tail_preserved():
+    """Byte-flip mutations that PRESERVE the xref/trailer tail (so parsing
+    reaches the object/content layers, unlike the truncation sweep) must
+    always land in the error channel or parse cleanly — never raise."""
+    rng = random.Random("fuzz")
+    pdf, grows, trows, err = gen.gen_pdf_doc(random.Random("fuzz-doc"), 1)
+    assert err is None
+    tail_start = pdf.rindex(b"xref")
+    for trial in range(300):
+        b = bytearray(pdf)
+        for _ in range(rng.randint(1, 6)):
+            i = rng.randrange(tail_start)  # mutate the body only
+            b[i] = rng.randrange(256)
+        rows, code = pdf_glyphs(bytes(b))
+        assert code is None or code in pdfmod.ERROR_CODES, code
+    # content-layer type confusion specifically (operand of the wrong
+    # type reaching an operator) must be recorded, not raised
+    bad_contents = [
+        b"BT /F1 10 Tf 5 Tj ET",          # number shown as a string
+        b"BT /F1 10 Tf (x) (y) Td (z) Tj ET",  # strings fed to Td
+        b"BT (s) 10 Tf (z) Tj ET",        # string font name operand
+        b"BT /F1 10 Tf [(a) (b) 5 <41>] TJ T* ET",  # T* with no leading set is fine; junk TJ ok
+    ]
+    for content in bad_contents:
+        rows, code = pdf_glyphs(_minimal_pdf(content))
+        assert code is None or code in pdfmod.ERROR_CODES, (content, code)
