@@ -66,7 +66,7 @@ def join_blocks(blocks: list[str]) -> tuple[str, list[tuple[str, int, int]]]:
     return "\n".join(normed), spans
 
 SEED = 42
-FORMAT_VERSION = 31  # bump to force regeneration everywhere (v31: PDF incremental-update (/Prev) variants)
+FORMAT_VERSION = 32  # bump to force regeneration everywhere (v32: PDF-1.5 xref-stream / ObjStm / predictor variants)
 
 # bench is sized so the extraction stage runs for seconds, not hundreds of
 # milliseconds, at local[32] — otherwise the ~0.3 s fixed job floor (task
@@ -745,6 +745,9 @@ def _pdf_build_file(
     filter_override: str | None = None,
     corrupt_flate: bool = False,
     stale_last_page: bytes | None = None,
+    xref_stream: bool = False,
+    use_objstm: bool = False,
+    xref_predictor: bool = False,
 ) -> bytes:
     """Assemble a classic-xref PDF.  Object write order is shuffled (the
     xref table, not file order, locates objects); streams are Flate (50%)
@@ -757,8 +760,18 @@ def _pdf_build_file(
     redefines that content object with ``page_contents[-1]``, adds a
     second xref listing only the changed object, and a trailer whose
     /Prev points at the base table.  The kernel (P2) must walk the chain
-    newest-first, so the effective document shows the UPDATED content."""
+    newest-first, so the effective document shows the UPDATED content.
+
+    ``xref_stream``: write a PDF-1.5 layout instead of the classic table —
+    a /Type /XRef stream with [1 4 2] field widths, Flate-compressed,
+    optionally PNG-Up-predicted (``xref_predictor``); with ``use_objstm``
+    every non-stream object (catalog, page tree, fonts, page dicts,
+    indirect lengths) is packed into a /Type /ObjStm and located by
+    type-2 entries.  Mutually exclusive with ``stale_last_page``."""
+    if xref_stream and stale_last_page is not None:
+        raise ValueError("xref_stream and stale_last_page are mutually exclusive")
     objs: dict[int, bytes] = {}
+    stream_nums: set[int] = set()  # objects that ARE streams (not packable)
     next_num = 5  # 1 catalog, 2 pages root, 3 F1 Courier, 4 F2 Helvetica
 
     def alloc() -> int:
@@ -791,6 +804,7 @@ def _pdf_build_file(
         else:
             ldict = f"<< /Length {len(data)}{extra} >>"
         objs[num] = ldict.encode() + b"\nstream\n" + data + b"\nendstream"
+        stream_nums.add(num)
         return num
 
     attrs = b" /MediaBox [0 0 612 792] /Resources << /Font << /F1 3 0 R /F2 4 0 R >> >>"
@@ -842,6 +856,9 @@ def _pdf_build_file(
     objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier /Encoding /WinAnsiEncoding >>"
     objs[4] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
 
+    if xref_stream:
+        return _assemble_xref_stream_pdf(rng, objs, stream_nums, alloc, use_objstm, xref_predictor)
+
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     if rng.random() < 0.2:
         buf += b"% generator comment line\n"
@@ -880,6 +897,98 @@ def _pdf_build_file(
             f"trailer\n<< /Size {maxn + 1} /Root 1 0 R /Prev {xref_off} >>\n"
             f"startxref\n{xref2}\n%%EOF"
         ).encode()
+    return bytes(buf)
+
+
+def _assemble_xref_stream_pdf(
+    rng: random.Random,
+    objs: dict[int, bytes],
+    stream_nums: set[int],
+    alloc,
+    use_objstm: bool,
+    xref_predictor: bool,
+) -> bytes:
+    """PDF-1.5 assembly: optional /ObjStm packing of every non-stream
+    object, then a /Type /XRef stream (W [1 4 2], Flate, optional PNG-Up
+    predictor) whose dict is the trailer.  Independent counterpart of the
+    kernel's _parse_xref_stream/_get_from_objstm."""
+    packed = sorted(n for n in objs if n not in stream_nums) if use_objstm else []
+    objstm_num = alloc() if packed else None
+    xref_num = alloc()
+
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    if rng.random() < 0.2:
+        buf += b"% generator comment line\n"
+    offsets: dict[int, int] = {}
+    order = [n for n in sorted(objs) if n not in packed]
+    rng.shuffle(order)
+    for num in order:
+        offsets[num] = len(buf)
+        buf += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+
+    packed_idx: dict[int, int] = {}
+    if packed:
+        # ObjStm: "n1 o1 n2 o2 ...\n" header, then the value tokens
+        vals = [objs[n] for n in packed]
+        offs, pos = [], 0
+        for v in vals:
+            offs.append(pos)
+            pos += len(v) + 1  # one space separator keeps tokens apart
+        header = (" ".join(f"{n} {o}" for n, o in zip(packed, offs)) + "\n").encode()
+        body = header + b" ".join(vals) + b" "
+        first = len(header)
+        use_flate = rng.random() < 0.5
+        data = zlib.compress(body) if use_flate else body
+        extra = " /Filter /FlateDecode" if use_flate else ""
+        offsets[objstm_num] = len(buf)
+        buf += (
+            f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(packed)} "
+            f"/First {first} /Length {len(data)}{extra} >>\nstream\n"
+        ).encode() + data + b"\nendstream\nendobj\n"
+        packed_idx = {n: i for i, n in enumerate(packed)}
+
+    size = xref_num + 1
+    xref_off = len(buf)
+    rows = [(0, 0, 65535)]  # object 0: free head
+    for n in range(1, size):
+        if n in packed_idx:
+            rows.append((2, objstm_num, packed_idx[n]))
+        elif n == xref_num:
+            rows.append((1, xref_off, 0))
+        else:
+            rows.append((1, offsets[n], 0))
+    raw = b"".join(
+        bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+        for t, f2, f3 in rows
+    )
+    parms = ""
+    if xref_predictor:
+        # forward PNG filters per 7-byte row: Up (tag 2) mostly, None
+        # (tag 0) sprinkled — the kernel must honor the per-row tag
+        cols = 7
+        out = bytearray()
+        prior = bytes(cols)
+        for i in range(0, len(raw), cols):
+            cur = raw[i : i + cols]
+            if rng.random() < 0.2:
+                out += b"\x00" + cur
+            else:
+                out += b"\x02" + bytes((cur[j] - prior[j]) & 0xFF for j in range(cols))
+            prior = cur
+        raw = bytes(out)
+        parms = " /DecodeParms << /Predictor 12 /Columns 7 >>"
+    data = zlib.compress(raw)
+    if rng.random() < 0.3 and size > 3:
+        k = rng.randint(1, size - 2)
+        index = f"[0 {k} {k} {size - k}]"
+    else:
+        index = f"[0 {size}]"
+    buf += (
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
+        f"/Index {index} /Root 1 0 R /Length {len(data)} "
+        f"/Filter /FlateDecode{parms} >>\nstream\n"
+    ).encode() + data + b"\nendstream\nendobj\n"
+    buf += f"startxref\n{xref_off}\n%%EOF".encode()
     return bytes(buf)
 
 
@@ -971,13 +1080,17 @@ def gen_pdf_doc(rng: random.Random, doc_id: int):
             gid += 1
 
     stale = None
-    if kind is None and rng.random() < 0.15:
+    layout_roll = rng.random() if kind is None else 1.0
+    if layout_roll < 0.15:
         # incremental-update variant: the base file carries a draft last
         # page; the appended update section holds the REAL content whose
         # glyphs the golden already mirrors — the kernel must walk /Prev
         draft = _PdfPageRender(rng, font, "td", media_top=792.0)
         draft.line(72.0, BODY_TOP, f"draft pending replacement {doc_id}")
         stale = draft.content()
+    # PDF-1.5 layout slice: xref STREAM (optionally ObjStm-packed and
+    # PNG-Up-predicted) — what most real-world PDFs use
+    xrs = 0.15 <= layout_roll < 0.45
     pdf = _pdf_build_file(
         rng,
         contents,
@@ -987,6 +1100,9 @@ def gen_pdf_doc(rng: random.Random, doc_id: int):
         filter_override="LZWDecode" if kind == "unsupported_filter" else None,
         corrupt_flate=kind == "bad_stream",
         stale_last_page=stale,
+        xref_stream=xrs,
+        use_objstm=xrs and rng.random() < 0.6,
+        xref_predictor=xrs and rng.random() < 0.5,
     )
     if kind == "bad_xref_truncated":
         pdf = pdf[: int(len(pdf) * 0.7)]

@@ -19,16 +19,23 @@ parsing — the same two-sided design as the PNG/WAV/MP4 kernels.
   P1. A document must begin with b"%PDF-"; anything else -> ``not_pdf``.
   P2. The last ``startxref`` in the file tail names the byte offset of a
       CLASSIC cross-reference table (``xref`` keyword, subsection headers
-      ``start count``, 20-byte-style entries, then ``trailer`` << dict >>).
-      Trailers may chain via /Prev (incremental updates): tables are
-      walked newest-first, the NEWEST entry per object wins, and the
-      newest trailer's /Root governs.  A /Prev loop, failure to
-      locate/parse a table, a missing /Root, or an entry offset that
+      ``start count``, 20-byte-style entries, then ``trailer`` << dict >>)
+      OR a PDF-1.5 CROSS-REFERENCE STREAM (an indirect stream object with
+      /Type /XRef: binary entries laid out by /W field widths over /Index
+      subsections, Flate-decoded, PNG Up-predictor (/Predictor >= 10 with
+      per-row filter tags 0/2) supported; type-1 entries are file offsets,
+      type-2 entries point into OBJECT STREAMS).  Trailers may chain via
+      /Prev (incremental updates): tables are walked newest-first, the
+      NEWEST entry per object wins, and the newest trailer's /Root
+      governs.  A /Prev loop, failure to locate/parse a table, a missing
+      /Root, an unsupported predictor/filter tag, or an entry offset that
       does not start the referenced object -> ``bad_xref``.
   P3. Objects are ``N G obj <value> endobj`` over the standard token
       grammar: dicts, arrays, names, numbers, literal + hex strings,
-      indirect refs ``N G R``, booleans, null, comments, streams.  A
-      malformed object -> ``bad_obj``.
+      indirect refs ``N G R``, booleans, null, comments, streams.
+      Objects may live inside OBJECT STREAMS (/Type /ObjStm: ``N`` header
+      pairs ``objnum offset`` then the value tokens at /First + offset);
+      a header/index mismatch or malformed object -> ``bad_obj``.
   P4. Stream filters: none or /FlateDecode only; any other /Filter ->
       ``unsupported_filter``; Flate data that fails to inflate ->
       ``bad_stream``.  /Length may be an indirect reference.
@@ -335,14 +342,43 @@ class _Lexer:
             out[str(key)] = self.value()
 
 
+def _unpredict(data: bytes, predictor: int, columns: int) -> bytes:
+    """Invert the PNG row predictor on xref-stream data (P2): predictors
+    >= 10 mean per-row PNG filter tags; tags 0 (None) and 2 (Up) are the
+    ones xref streams use in practice — anything else -> bad_xref."""
+    if predictor == 1:
+        return data
+    if predictor < 10:
+        raise PdfError("bad_xref", f"unsupported predictor {predictor}")
+    stride = columns + 1
+    if columns <= 0 or len(data) % stride:
+        raise PdfError("bad_xref", "predictor data length mismatch")
+    out = bytearray()
+    prior = bytes(columns)
+    for pos in range(0, len(data), stride):
+        tag = data[pos]
+        cur = bytearray(data[pos + 1 : pos + stride])
+        if tag == 2:  # Up
+            for i in range(columns):
+                cur[i] = (cur[i] + prior[i]) & 0xFF
+        elif tag != 0:
+            raise PdfError("bad_xref", f"unsupported PNG filter tag {tag}")
+        out += cur
+        prior = bytes(cur)
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # document graph (P2, P3, P4, P5)
 # ---------------------------------------------------------------------------
 class _Document:
     def __init__(self, data: bytes):
         self.data = data
-        self.offsets: dict[int, int] = {}
+        # object locator: int = file offset; ("objstm", stm, idx) = the
+        # idx-th object inside object stream ``stm`` (xref-stream type 2)
+        self.offsets: dict[int, object] = {}
         self.cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, tuple] = {}  # stm -> (pairs, body)
         self.trailer: dict = {}
         self._parse_xref()
 
@@ -378,13 +414,14 @@ class _Document:
             raise PdfError("bad_xref", "trailer missing /Root")
 
     def _parse_one_xref(self, off: int) -> dict:
-        """One classic xref table + trailer at ``off``; entries are added
-        with setdefault so earlier (newer) tables win."""
+        """One cross-reference SECTION at ``off`` — a classic table or a
+        PDF-1.5 xref stream; entries are added with setdefault so earlier
+        (newer) sections win.  Returns the section's trailer dict."""
         lx = _Lexer(self.data, off)
         try:
             lx.expect_keyword("xref")
         except PdfError:
-            raise PdfError("bad_xref", f"no xref table at offset {off}")
+            return self._parse_xref_stream(off)
         try:
             while True:
                 word = lx.peek_keyword()
@@ -412,6 +449,78 @@ class _Document:
             raise PdfError("bad_xref", "trailer is not a dict")
         return trailer
 
+    def _parse_xref_stream(self, off: int) -> dict:
+        """A /Type /XRef stream object at ``off`` (PDF 1.5): binary
+        entries of sum(/W) bytes over /Index subsections.  The stream's
+        own dict is the trailer."""
+        lx = _Lexer(self.data, off)
+        try:
+            num = lx.value()
+            gen = lx.value()
+            lx.expect_keyword("obj")
+            sdict = lx.value()
+            if not isinstance(num, int) or not isinstance(gen, int):
+                raise PdfError("bad_xref", "xref stream header is not N G obj")
+            if not isinstance(sdict, dict) or str(sdict.get("Type", "")) != "XRef":
+                raise PdfError("bad_xref", f"no xref table or /XRef stream at {off}")
+            if not isinstance(sdict.get("Length"), int):
+                # the spec requires a DIRECT /Length here (resolving an
+                # indirect one would need the very table being parsed)
+                raise PdfError("bad_xref", "xref stream /Length must be direct")
+            _, _, body = self._read_stream(lx, sdict)
+        except PdfError as e:
+            raise PdfError("bad_xref", str(e))
+        parms = sdict.get("DecodeParms")
+        if isinstance(parms, dict):
+            body = _unpredict(
+                body,
+                int(parms.get("Predictor", 1)),
+                int(parms.get("Columns", 1)),
+            )
+        w = sdict.get("W")
+        size = sdict.get("Size")
+        if (
+            not isinstance(w, list)
+            or len(w) != 3
+            or not all(isinstance(x, int) and 0 <= x <= 8 for x in w)
+            or not isinstance(size, int)
+        ):
+            raise PdfError("bad_xref", "xref stream missing/bad /W or /Size")
+        index = sdict.get("Index", [0, size])
+        if not isinstance(index, list) or len(index) % 2:
+            raise PdfError("bad_xref", "bad /Index")
+        row = sum(w)
+        if row == 0:
+            raise PdfError("bad_xref", "zero-width xref entries")
+        pos = 0
+
+        def field(width: int, default: int) -> int:
+            nonlocal pos
+            if width == 0:
+                return default
+            v = int.from_bytes(body[pos : pos + width], "big")
+            pos += width
+            return v
+
+        for i in range(0, len(index), 2):
+            start, count = index[i], index[i + 1]
+            if not isinstance(start, int) or not isinstance(count, int):
+                raise PdfError("bad_xref", "bad /Index pair")
+            for k in range(count):
+                if pos + row > len(body):
+                    raise PdfError("bad_xref", "xref stream data truncated")
+                etype = field(w[0], 1)
+                f2 = field(w[1], 0)
+                f3 = field(w[2], 0)
+                objnum = start + k
+                if etype == 1:
+                    self.offsets.setdefault(objnum, f2)
+                elif etype == 2:
+                    self.offsets.setdefault(objnum, ("objstm", f2, f3))
+                # type 0 (free) and unknown types: skipped (spec: readers
+                # ignore entry types they don't understand)
+        return sdict
+
     # -- objects ------------------------------------------------------------
     def resolve(self, v):
         while isinstance(v, tuple) and len(v) == 2 and v[0] == "R":
@@ -423,7 +532,12 @@ class _Document:
             return self.cache[num]
         if num not in self.offsets:
             raise PdfError("bad_xref", f"object {num} not in xref")
-        lx = _Lexer(self.data, self.offsets[num])
+        loc = self.offsets[num]
+        if isinstance(loc, tuple):
+            val = self._get_from_objstm(loc[1], loc[2], num)
+            self.cache[num] = val
+            return val
+        lx = _Lexer(self.data, loc)
         got = lx.value()
         gen = lx.value()
         if got != num or not isinstance(gen, int):
@@ -434,6 +548,38 @@ class _Document:
             val = self._read_stream(lx, val)
         self.cache[num] = val
         return val
+
+    def _get_from_objstm(self, stm: int, idx: int, num: int):
+        """Object ``num`` at position ``idx`` inside object stream ``stm``
+        (/Type /ObjStm: ``N`` header pairs then value tokens at /First +
+        offset).  Streams cannot nest inside an ObjStm (spec 7.5.7)."""
+        cached = self._objstm_cache.get(stm)
+        if cached is None:
+            container = self.get(stm)
+            if not (
+                isinstance(container, tuple)
+                and container[0] == "stream"
+                and str(container[1].get("Type", "")) == "ObjStm"
+            ):
+                raise PdfError("bad_obj", f"object {num}: container {stm} is not an ObjStm")
+            d, body = container[1], container[2]
+            n, first = self.resolve(d.get("N")), self.resolve(d.get("First"))
+            if not isinstance(n, int) or not isinstance(first, int):
+                raise PdfError("bad_obj", f"ObjStm {stm} missing /N or /First")
+            hlx = _Lexer(body)
+            pairs = []
+            for _ in range(n):
+                onum = hlx.value()
+                ooff = hlx.value()
+                if not isinstance(onum, int) or not isinstance(ooff, int):
+                    raise PdfError("bad_obj", f"ObjStm {stm} header is not int pairs")
+                pairs.append((onum, ooff))
+            cached = (pairs, first, body)
+            self._objstm_cache[stm] = cached
+        pairs, first, body = cached
+        if not (0 <= idx < len(pairs)) or pairs[idx][0] != num:
+            raise PdfError("bad_obj", f"ObjStm {stm} index {idx} does not hold obj {num}")
+        return _Lexer(body, first + pairs[idx][1]).value()
 
     def _read_stream(self, lx: _Lexer, sdict) -> tuple:
         """Returns ('stream', dict, decoded_bytes) applying P4 filters."""

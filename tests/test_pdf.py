@@ -258,20 +258,26 @@ def test_pdf_chain_plan_is_exchange_free(spark, pdf_tables):
     assert "Exchange" not in plan
 
 
-def test_flate_and_raw_streams_both_present(spark, pdf_tables):
-    """Fixture coverage guard: the tier must exercise Flate AND raw
-    content streams, literal AND hex strings, and at least 3 error kinds
-    — otherwise parser paths silently lose coverage."""
-    docs, tiny_dir = pdf_tables
+def test_fixture_coverage_guard(spark, small_dir):
+    """Fixture coverage guard at the ORACLE tier (small, 150 docs): Flate
+    AND raw content streams, classic AND xref-stream layouts, ObjStm
+    packing, the PNG predictor, incremental updates, and at least 4 error
+    kinds must all be exercised — otherwise parser paths silently lose
+    coverage."""
+    docs = spark.read.parquet(f"{small_dir}/pdf_docs.parquet")
     payloads = [bytes(r["pdf"]) for r in docs.collect()]
     n_flate = sum(b"/Filter /FlateDecode" in p for p in payloads)
-    assert n_flate > 0 and n_flate < len(payloads)
+    assert 0 < n_flate < len(payloads)
+    assert any(b"/Type /XRef" in p for p in payloads)
+    assert any(b"/Type /ObjStm" in p for p in payloads)
+    assert any(b"/Predictor 12" in p for p in payloads)
+    assert any(p.count(b"startxref") > 1 for p in payloads)
     errors = {
         r["error"]
-        for r in spark.read.parquet(f"{tiny_dir}/golden_pdf_errors.parquet").collect()
+        for r in spark.read.parquet(f"{small_dir}/golden_pdf_errors.parquet").collect()
         if r["error"]
     }
-    assert len(errors) >= 3
+    assert len(errors) >= 4, errors
 
 
 def test_pdf_attendance_end_to_end(spark, tiny_dir):
@@ -370,3 +376,51 @@ def test_mutation_fuzz_never_raises_and_tail_preserved():
     for content in bad_contents:
         rows, code = pdf_glyphs(_minimal_pdf(content))
         assert code is None or code in pdfmod.ERROR_CODES, (content, code)
+
+
+# ---------------------------------------------------------------------------
+# PDF 1.5: xref streams + object streams (P2/P3)
+# ---------------------------------------------------------------------------
+def test_xref_stream_layouts_parse_identically():
+    """The same page content through every file layout — classic table,
+    xref stream, +ObjStm packing, +PNG-Up predictor — must yield the
+    identical glyph table (the layout is transport, never semantics)."""
+    content = b"BT /F1 10 Tf 72 700 Td (layout invariance) Tj ET"
+    variants = []
+    for xrs, objstm, pred in (
+        (False, False, False),
+        (True, False, False),
+        (True, True, False),
+        (True, True, True),
+        (True, False, True),
+    ):
+        pdf = gen._pdf_build_file(
+            random.Random(9), [content], inherited_attrs=True,
+            nested_tree=False, xref_stream=xrs, use_objstm=objstm,
+            xref_predictor=pred,
+        )
+        rows, err = pdf_glyphs(pdf)
+        assert err is None, (xrs, objstm, pred, err)
+        variants.append(rows)
+    assert all(v == variants[0] for v in variants[1:])
+    assert "".join(r[1] for r in variants[0]) == "layoutinvariance"
+
+
+def test_xref_stream_corruption_is_bad_xref():
+    pdf = gen._pdf_build_file(
+        random.Random(3), [b"BT /F1 10 Tf 72 700 Td (x) Tj ET"],
+        inherited_attrs=True, nested_tree=False,
+        xref_stream=True, use_objstm=True, xref_predictor=True,
+    )
+    # corrupt the xref stream's Flate payload (keyword search must not
+    # land inside 'endstream': anchor on the dict-close + keyword)
+    x = pdf.index(b"/Type /XRef")
+    i = pdf.index(b">>\nstream\n", x) + len(b">>\nstream\n")
+    bad = pdf[:i] + b"\x00\x00" + pdf[i + 2 :]
+    assert pdf_glyphs(bad)[1] == "bad_xref"
+    # corrupting the ObjStm's payload must land in the error channel too
+    j = pdf.index(b"/Type /ObjStm")
+    k = pdf.index(b">>\nstream\n", j) + len(b">>\nstream\n")
+    bad2 = pdf[:k] + b"\x00\x00" + pdf[k + 2 :]
+    code = pdf_glyphs(bad2)[1]
+    assert code in ("bad_stream", "bad_obj", "bad_xref"), code
