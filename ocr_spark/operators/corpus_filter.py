@@ -54,6 +54,7 @@ def corpus_filter(
     benchmark: DataFrame | None = None,
     decont_n: int = 13,
     input_token: str | None = None,
+    max_bucket: int | None = 1024,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (kept, audit).  audit: (id, keep boolean, reason string) —
     reason is the FIRST failing stage, 'kept' otherwise.  Stage order:
@@ -204,7 +205,8 @@ def corpus_filter(
                 check_count=False,
             )
         pairs = minhash_dup_pairs(
-            kept_ids, id_col, text_col, threshold=near_threshold, signatures=sigs
+            kept_ids, id_col, text_col, threshold=near_threshold, signatures=sigs,
+            max_bucket=max_bucket,  # viral-bucket bound (dedup.py)
         )
         clusters = near_dup_clusters(
             kept_ids.select(F.col(id_col).alias("doc_id")), pairs

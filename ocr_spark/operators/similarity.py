@@ -108,6 +108,8 @@ def build_ivf_index(
 
     @pandas_udf(IntegerType())
     def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # np.stack raises on an empty Arrow batch
+            return pd.Series([], dtype="int32")
         v = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, d)
         # argmin_l |v|^2 - 2 v.c_l + |c_l|^2  (|v|^2 constant per row)
         d2 = -2.0 * (v @ c.T) + c_norm2[None, :]
