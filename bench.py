@@ -256,7 +256,13 @@ def run_layout_bench(spark, bench_dir: str) -> dict:
 def run_pdf_bench(spark, bench_dir: str) -> dict:
     """Engine-A byte layer at the bench tier: raw PDF bytes -> glyphs ->
     XY-cut reading-order text, fused in one zero-Exchange Python pass
-    (4000 multi-page documents)."""
+    (4000 multi-page documents).  Profiled composition (serial): ~8 ms/doc
+    spread across the token lexer (~48%), glyph emission (~35%) and the
+    object graph (~12%) — no single hot loop; the branch is
+    document-parallel and two decimal orders above the reference's
+    0.05-0.5 docs/s front door, so a vectorized show-string fast path is
+    deliberately NOT taken (it would force a spec change to cumsum-form
+    advance arithmetic for ~2x on a non-headline branch)."""
     from ocr_spark.operators.pdf_ops import pdf_to_page_text
 
     docs = spark.read.parquet(f"{bench_dir}/pdf_docs.parquet")

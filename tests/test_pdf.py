@@ -424,3 +424,75 @@ def test_xref_stream_corruption_is_bad_xref():
     bad2 = pdf[:k] + b"\x00\x00" + pdf[k + 2 :]
     code = pdf_glyphs(bad2)[1]
     assert code in ("bad_stream", "bad_obj", "bad_xref"), code
+
+
+# ---------------------------------------------------------------------------
+# token-layer properties (hypothesis): generator encoders vs kernel lexer
+# ---------------------------------------------------------------------------
+def test_literal_string_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=64), st.integers(0, 2**31))
+    def prop(data, seed):
+        tok = gen._pdf_lit(data, random.Random(seed))
+        lx = pdfmod._Lexer(tok.encode("latin-1"))
+        assert lx.value() == data
+        assert lx.pos == len(tok)
+
+    prop()
+
+
+def test_hex_string_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=64))
+    def prop(data):
+        lx = pdfmod._Lexer(b"<" + data.hex().encode() + b">")
+        assert lx.value() == data
+
+    prop()
+
+
+def test_number_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.floats(allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12)
+    )
+    def prop(v):
+        tok = gen._pdf_num(v)
+        lx = pdfmod._Lexer(tok.encode("latin-1"))
+        parsed = lx.value()
+        assert float(parsed) == v  # exact round trip (repr or int form)
+
+    prop()
+
+
+def test_unpredict_inverts_forward_filters_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.binary(min_size=7, max_size=7 * 40).filter(lambda b: len(b) % 7 == 0),
+           st.integers(0, 2**31))
+    def prop(raw, seed):
+        rng = random.Random(seed)
+        cols = 7
+        out = bytearray()
+        prior = bytes(cols)
+        for i in range(0, len(raw), cols):
+            cur = raw[i : i + cols]
+            if rng.random() < 0.3:
+                out += b"\x00" + cur
+            else:
+                out += b"\x02" + bytes((cur[j] - prior[j]) & 0xFF for j in range(cols))
+            prior = cur
+        assert pdfmod._unpredict(bytes(out), 12, cols) == raw
+
+    prop()
