@@ -39,6 +39,13 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--signatures", default=None, help="icelite root for minhash signatures")
     p.add_argument("--near-dedup", action="store_true")
     p.add_argument("--near-threshold", type=float, default=0.8)
+    p.add_argument(
+        "--max-bucket", type=int, default=1024,
+        help="LSH viral-bucket bound (representative capping; buckets <= "
+        "cap keep exact all-pairs recall, oversized template clusters "
+        "degrade to connectivity-preserving rep x member edges); 0 = "
+        "unbounded exact candidate generation",
+    )
     p.add_argument("--langs", default=None, help="comma-separated language allowlist")
     p.add_argument(
         "--benchmark", default=None,
@@ -149,6 +156,7 @@ def main(argv: list[str] | None = None) -> dict:
             # pre-stages rewrite the text the signatures hash — a rerun
             # with different flags must refuse the stale signature table
             input_token=",".join(pre_stages) if pre_stages else None,
+            max_bucket=args.max_bucket if args.max_bucket > 0 else None,
         )
         from pyspark.sql import functions as F
 
