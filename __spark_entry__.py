@@ -260,6 +260,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", F.col("page").cast("bigint").alias("page"), "text")
         )
 
+    def q_pdf_doc_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Doc-level PDF records (the resumable pipeline's PDF transform,
+        extract_job --format pdf): assembled reading-order text per
+        document + page count + error channel, one zero-Exchange pass."""
+        from ocr_spark.operators.pdf_ops import pdf_doc_records
+
+        docs = spark.read.parquet(f"{fix}/pdf_docs.parquet")
+        return pdf_doc_records(docs).select(
+            "doc_id",
+            "text",
+            F.col("n_pages").cast("bigint").alias("n_pages"),
+            F.coalesce(F.col("error"), F.lit("")).alias("error"),
+        )
+
     def q_pdf_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Per-document error taxonomy (E6): one row per input doc, the
         planted corruption's code or NULL — oracle is the generator's own
@@ -891,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_doc_spans": q_layout_doc_spans,
         "pdf_glyphs": q_pdf_glyphs,
         "pdf_layout": q_pdf_layout,
+        "pdf_doc_text": q_pdf_doc_text,
         "pdf_errors": q_pdf_errors,
         "attendance_fields": q_attendance_fields,
         "attendance_explode": q_attendance_explode,
@@ -1171,6 +1186,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pdf_errors": f"""
             SELECT doc_id, error FROM '{fix}/golden_pdf_errors.parquet'
+        """,
+        # doc-level assembly: pages joined with \n in page order; error
+        # docs carry empty text + their taxonomy code
+        "pdf_doc_text": f"""
+            SELECT e.doc_id,
+                   COALESCE(t.text, '') AS text,
+                   COALESCE(t.n_pages, 0) AS n_pages,
+                   COALESCE(e.error, '') AS error
+            FROM '{fix}/golden_pdf_errors.parquet' e
+            LEFT JOIN (
+                SELECT doc_id,
+                       string_agg(text, chr(10) ORDER BY page) AS text,
+                       CAST(COUNT(*) AS BIGINT) AS n_pages
+                FROM '{fix}/golden_pdf_text.parquet'
+                GROUP BY doc_id
+            ) t USING (doc_id)
         """,
         "attendance_fields": f"""
             SELECT url, classe, cours, date, nom_du_professeur,

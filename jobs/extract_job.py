@@ -22,7 +22,14 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument(
         "--input", required=True, help="pages parquet path, WARC dir, or icelite root"
     )
-    p.add_argument("--format", choices=["parquet", "warc", "icelite"], default="parquet")
+    p.add_argument(
+        "--format",
+        choices=["parquet", "warc", "icelite", "pdf"],
+        default="parquet",
+        help="'pdf' reads a (doc_id, pdf) parquet and runs the PDF front "
+        "door (parse -> XY-cut -> assembled doc text), resumable on "
+        "doc_id-hash bucket groups",
+    )
     p.add_argument("--output", required=True, help="icelite table root")
     p.add_argument("--buckets", type=int, default=16)
     p.add_argument("--group-size", type=int, default=4)
@@ -71,9 +78,16 @@ def main(argv: list[str] | None = None) -> None:
     # sink error taxonomy -> distinct exit codes so an orchestrator can
     # retry conflicts (3) but page a human on schema/layout drift (4)
     try:
-        table = IceliteTable(args.output, key_col="url", n_buckets=args.buckets)
+        if args.format == "pdf":
+            from ocr_spark.operators.pdf_ops import pdf_doc_records
+
+            key_col, transform = "doc_id", pdf_doc_records
+        else:
+            key_col, transform = "url", None  # default html extraction
+        table = IceliteTable(args.output, key_col=key_col, n_buckets=args.buckets)
         pipe = ExtractionPipeline(
-            table, n_buckets=args.buckets, group_size=args.group_size, salt=args.salt
+            table, n_buckets=args.buckets, group_size=args.group_size,
+            salt=args.salt, key_col=key_col, transform=transform,
         )
         stats = pipe.run(pages, max_concurrent=args.max_concurrent, spark=spark)
     except SchemaMismatchError as e:

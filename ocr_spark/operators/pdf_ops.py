@@ -168,3 +168,73 @@ def pdf_to_page_text(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "pdf").mapInArrow(
         _page_text_batches, PDF_PAGE_TEXT_SCHEMA
     )
+
+
+PDF_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("n_pages", T.IntegerType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def _doc_batches(batches):
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("n_pages", pa.int32()),
+            ("error", pa.string()),
+        ]
+    )
+    for batch in batches:
+        ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+        pdfs = batch.column(batch.schema.get_field_index("pdf")).to_pylist()
+        cols = {name: [] for name in schema.names}
+        for did, payload in zip(ids, pdfs):
+            rows, err = pdf_glyphs(payload)
+            if err is not None:
+                cols["doc_id"].append(did)
+                cols["text"].append("")
+                cols["n_pages"].append(0)
+                cols["error"].append(err)
+                continue
+            texts = []
+            start = 0
+            for i in range(1, len(rows) + 1):
+                if i == len(rows) or rows[i][0] != rows[start][0]:
+                    chunk = rows[start:i]
+                    texts.append(
+                        page_text(
+                            np.array([r[1] for r in chunk], dtype=object),
+                            np.array([r[2] for r in chunk]),
+                            np.array([r[3] for r in chunk]),
+                            np.array([r[4] for r in chunk]),
+                            np.array([r[5] for r in chunk]),
+                        )
+                    )
+                    start = i
+            cols["doc_id"].append(did)
+            cols["text"].append("\n".join(texts))
+            cols["n_pages"].append(len(texts))
+            cols["error"].append(None)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(cols[n], schema.field(n).type) for n in schema.names],
+            schema=schema,
+        )
+
+
+def pdf_doc_records(docs: DataFrame) -> DataFrame:
+    """(doc_id, pdf) -> ONE row per document: assembled reading-order text
+    (pages joined with \\n — the layout-branch assembly convention,
+    ``pages_to_doc_text``), page count, and the E6 error channel.  The
+    whole chain — parse, per-page XY-cut, document assembly — runs in a
+    single zero-Exchange Python pass (pages of one doc are already
+    together, so the assembly groupBy the glyph branch needs does not
+    exist here).  This is the transform the resumable pipeline runs for a
+    PDF corpus (jobs/extract_job.py --format pdf)."""
+    return docs.select("doc_id", "pdf").mapInArrow(_doc_batches, PDF_DOC_SCHEMA)

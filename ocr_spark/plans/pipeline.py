@@ -31,29 +31,40 @@ class ExtractionPipeline:
         n_buckets: int = 16,
         group_size: int = 4,
         salt: int = 0,
+        key_col: str = "url",
+        transform=None,
     ):
         """``salt=0`` (default) keeps the extraction stage shuffle-free:
         parquet/Iceberg scans already split files by
         ``spark.sql.files.maxPartitionBytes``, so task sizes are balanced by
         *bytes*, and spark.speculation covers stragglers.  Set ``salt>0``
         only for pathological host skew — it buys smaller tasks at the cost
-        of shuffling the raw html (the one thing a 100 TB run must avoid)."""
+        of shuffling the raw html (the one thing a 100 TB run must avoid).
+
+        ``key_col``/``transform`` generalize the pipeline beyond the html
+        branch: ``transform`` maps a group's input slice to the rows merged
+        into the output (default :func:`extract_pages`) and must emit the
+        key column plus ``text``/``error`` for the lineage counters — e.g.
+        ``pdf_ops.pdf_doc_records`` with ``key_col='doc_id'`` runs the PDF
+        front door resumable (jobs/extract_job.py --format pdf)."""
         # the OUTPUT layout must align with the pipeline's bucket groups,
         # same as the input check in _group_input: merging group [0..3]
         # into a table with a different n_buckets/key would scatter rows
         # into buckets the merge's touched_buckets anti-join never covers —
         # duplicate keys on resume instead of exactly-once
-        if out_table.key_col != "url" or out_table.n_buckets != n_buckets:
+        if out_table.key_col != key_col or out_table.n_buckets != n_buckets:
             raise ValueError(
                 f"output table is keyed ({out_table.key_col!r}, "
-                f"{out_table.n_buckets} buckets), pipeline expects ('url', "
-                f"{n_buckets}) — merge groups would not align with the "
-                "table's buckets"
+                f"{out_table.n_buckets} buckets), pipeline expects "
+                f"({key_col!r}, {n_buckets}) — merge groups would not align "
+                "with the table's buckets"
             )
         self.out = out_table
         self.n_buckets = n_buckets
         self.group_size = group_size
         self.salt = salt
+        self.key_col = key_col
+        self.transform = transform if transform is not None else extract_pages
 
     def bucket_groups(self) -> list[list[int]]:
         return [
@@ -78,22 +89,22 @@ class ExtractionPipeline:
           the input out as an icelite table to get pruning.
         """
         if isinstance(pages, IceliteTable):
-            if pages.n_buckets != self.n_buckets or pages.key_col != "url":
+            if pages.n_buckets != self.n_buckets or pages.key_col != self.key_col:
                 raise ValueError(
                     f"input table is keyed ({pages.key_col!r}, "
-                    f"{pages.n_buckets} buckets), pipeline expects ('url', "
-                    f"{self.n_buckets}) — bucket ids would not align with "
-                    "url processing groups"
+                    f"{pages.n_buckets} buckets), pipeline expects "
+                    f"({self.key_col!r}, {self.n_buckets}) — bucket ids "
+                    "would not align with key processing groups"
                 )
             return pages.read(spark, buckets=group)
-        return pages.filter(bucket_expr("url", self.n_buckets).isin(group))
+        return pages.filter(bucket_expr(self.key_col, self.n_buckets).isin(group))
 
     def _run_group(self, pages, group: list[int], spark=None) -> dict:
         part = self._group_input(pages, spark, group)
         if self.salt:
-            part = salted_repartition(part, "url", self.n_buckets, self.salt)
+            part = salted_repartition(part, self.key_col, self.n_buckets, self.salt)
         obs = Observation(f"extract-group-{group[0]}")
-        extracted = extract_pages(part).observe(
+        extracted = self.transform(part).observe(
             obs,
             F.count(F.lit(1)).alias("docs"),
             F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),

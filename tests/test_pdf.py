@@ -496,3 +496,43 @@ def test_unpredict_inverts_forward_filters_property():
         assert pdfmod._unpredict(bytes(out), 12, cols) == raw
 
     prop()
+
+
+def test_pdf_pipeline_resumable(spark, tiny_dir, tmp_path):
+    """The PDF front door through the RESUMABLE production pipeline
+    (extract_job --format pdf shape): crash after 2 bucket groups, rerun,
+    final table equals the golden doc-text assembly exactly-once."""
+    from ocr_spark.operators.pdf_ops import pdf_doc_records
+    from ocr_spark.plans.pipeline import ExtractionPipeline
+    from ocr_spark.sources.icelite import IceliteTable
+
+    docs = spark.read.parquet(f"{tiny_dir}/pdf_docs.parquet")
+    out = IceliteTable(str(tmp_path / "pdf_table"), key_col="doc_id", n_buckets=8)
+    pipe = ExtractionPipeline(
+        out, n_buckets=8, group_size=2, key_col="doc_id", transform=pdf_doc_records
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pipe.run(docs, fail_after_groups=2)
+    n_before = len(out.committed_groups())
+    assert 0 < n_before <= 2
+    stats = pipe.run(docs)  # resume: only the remaining groups
+    assert stats["groups"] == 4 - n_before
+    assert len(out.committed_groups()) == 4
+    got = {
+        r["doc_id"]: (r["text"], r["error"])
+        for r in out.read(spark).select("doc_id", "text", "error").collect()
+    }
+    golden_pages = {}
+    for r in spark.read.parquet(f"{tiny_dir}/golden_pdf_text.parquet").collect():
+        golden_pages.setdefault(r["doc_id"], []).append((r["page"], r["text"]))
+    want = {}
+    for r in spark.read.parquet(f"{tiny_dir}/golden_pdf_errors.parquet").collect():
+        if r["error"] is not None:
+            want[r["doc_id"]] = ("", r["error"])
+        else:
+            pages = sorted(golden_pages[r["doc_id"]])
+            want[r["doc_id"]] = ("\n".join(t for _, t in pages), None)
+    assert got == want
+    # idempotent rerun: nothing left to do
+    again = pipe.run(docs)
+    assert again["groups"] == 0
