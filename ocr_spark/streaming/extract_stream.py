@@ -23,15 +23,22 @@ def run_stream_once(
     input_dir: str,
     out_table: IceliteTable,
     checkpoint_dir: str,
+    schema=PAGES_SCHEMA,
+    transform=extract_pages,
 ) -> int:
     """Drain all currently-available files (availableNow) through the
-    extraction stage into the merge sink; returns processed row count."""
+    extraction stage into the merge sink; returns processed row count.
+
+    ``schema``/``transform`` generalize the ingest beyond the html branch
+    (same pattern as ExtractionPipeline): e.g. schema ``doc_id long, pdf
+    binary`` with ``pdf_ops.pdf_doc_records`` streams a landing directory
+    of PDF batches into a doc-text table, exactly-once per doc_id."""
     stream = (
-        spark.readStream.schema(PAGES_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 4)
         .parquet(input_dir)
     )
-    extracted = extract_pages(stream)
+    extracted = transform(stream)
     total = {"n": 0}
 
     def sink(batch_df, epoch_id: int) -> None:

@@ -536,3 +536,34 @@ def test_pdf_pipeline_resumable(spark, tiny_dir, tmp_path):
     # idempotent rerun: nothing left to do
     again = pipe.run(docs)
     assert again["groups"] == 0
+
+
+def test_pdf_streaming_ingest(spark, tiny_dir, tmp_path):
+    """Streaming PDF ingestion (readStream -> pdf_doc_records ->
+    foreachBatch MERGE, availableNow): the drained table's end state must
+    equal the batch operator over the same files (the fixpoint-oracle
+    pattern of stream_extract_state, applied to the PDF front door)."""
+    from pyspark.sql import functions as FF
+
+    from ocr_spark.operators.pdf_ops import pdf_doc_records
+    from ocr_spark.sources.icelite import IceliteTable
+    from ocr_spark.streaming.extract_stream import run_stream_once
+
+    docs = spark.read.parquet(f"{tiny_dir}/pdf_docs.parquet")
+    inp = str(tmp_path / "in")
+    docs.repartition(6).write.parquet(inp)
+    out = IceliteTable(str(tmp_path / "table"), key_col="doc_id", n_buckets=8)
+    n = run_stream_once(
+        spark, inp, out, str(tmp_path / "ckpt"),
+        schema="doc_id long, pdf binary", transform=pdf_doc_records,
+    )
+    assert n == docs.count()
+    got = {
+        r["doc_id"]: (r["text"], r["n_pages"], r["error"])
+        for r in out.read(spark).collect()
+    }
+    want = {
+        r["doc_id"]: (r["text"], r["n_pages"], r["error"])
+        for r in pdf_doc_records(docs).collect()
+    }
+    assert got == want
