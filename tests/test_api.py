@@ -103,3 +103,24 @@ def test_extract_job_exit_codes(spark, tiny_dir, monkeypatch):
     with pytest.raises(SystemExit) as e:
         main(["--input", inp, "--output", "/tmp/never"])
     assert e.value.code == 4
+
+
+def test_extract_job_pdf_format(spark, tiny_dir, tmp_path, capsys):
+    """extract_job --format pdf: the PDF front door through the resumable
+    CLI lands one doc-text row per input document, rerun is a no-op."""
+    from jobs.extract_job import main
+
+    out = str(tmp_path / "pdf_out")
+    stats = main(
+        ["--input", f"{tiny_dir}/pdf_docs.parquet", "--format", "pdf",
+         "--output", out, "--buckets", "8", "--group-size", "4"]
+    )
+    n_docs = spark.read.parquet(f"{tiny_dir}/pdf_docs.parquet").count()
+    assert stats["docs"] == n_docs and stats["groups"] == 2
+    again = main(
+        ["--input", f"{tiny_dir}/pdf_docs.parquet", "--format", "pdf",
+         "--output", out, "--buckets", "8", "--group-size", "4"]
+    )
+    assert again["groups"] == 0  # resume no-op
+    tbl = IceliteTable(out, key_col="doc_id", n_buckets=8)
+    assert tbl.read(spark).count() == n_docs
