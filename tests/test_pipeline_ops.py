@@ -1621,3 +1621,32 @@ def test_frame_pixels_bad_frame_size(spark):
     assert len(rows) == 2
     assert all(r["error"] == "BAD_FRAME_SIZE" for r in rows)
     assert all(r["pixel_sha256"] == "" for r in rows)
+
+
+def test_bucket_cap_adds_no_exchange(spark):
+    """The representative-capping window must ride the band join's own
+    partitioning: the capped plan carries the SAME number of Exchange and
+    Sort nodes as the uncapped plan (plus exactly one Window) — the cap's
+    cost is bounded by the windowed rank evaluation, never a new shuffle."""
+    import re
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    )
+
+    def shape(mb):
+        plan = (
+            minhash_dup_pairs(df, max_bucket=mb)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        return (
+            len(re.findall(r"(?<!Reused)Exchange", plan)),
+            plan.count("Sort "),
+            plan.count("Window"),
+        )
+
+    ex_c, so_c, wi_c = shape(1024)
+    ex_u, so_u, wi_u = shape(None)
+    assert ex_c == ex_u, (ex_c, ex_u)
+    assert so_c == so_u, (so_c, so_u)
+    assert (wi_c, wi_u) == (1, 0)
