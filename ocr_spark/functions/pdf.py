@@ -71,8 +71,15 @@ parsing — the same two-sided design as the PNG/WAV/MP4 kernels.
 
 Errors are PER DOCUMENT and RECORDED, never raised (E6 semantics —
 reference: extract-data-from-pdf.ts error channel): taxonomy
-``not_pdf | bad_xref | bad_obj | unsupported_filter | bad_stream |
-bad_page_tree | missing_font | missing_width | bad_content``.
+``not_pdf | doc_too_large | bad_xref | bad_obj | unsupported_filter |
+bad_stream | stream_too_large | bad_page_tree | missing_font |
+missing_width | bad_content``.
+
+Resource bounds (the html branch's DOC_TOO_LARGE discipline applied
+here): the raw payload is capped (``max_bytes`` -> ``doc_too_large``)
+and every FlateDecode inflation is capped (``max_stream_bytes`` ->
+``stream_too_large``) — a zlib bomb in a content stream must cost one
+error row, never an executor OOM.
 """
 
 from __future__ import annotations
@@ -127,9 +134,16 @@ _NOOP_OPS = frozenset(
 )
 
 ERROR_CODES = (
-    "not_pdf", "bad_xref", "bad_obj", "unsupported_filter", "bad_stream",
-    "bad_page_tree", "missing_font", "missing_width", "bad_content",
+    "not_pdf", "doc_too_large", "bad_xref", "bad_obj", "unsupported_filter",
+    "bad_stream", "stream_too_large", "bad_page_tree", "missing_font",
+    "missing_width", "bad_content",
 )
+
+# resource bounds (E6: violations land in the error channel, never OOM).
+# 64 MB covers any sane text PDF; real scans/image PDFs would raise the
+# caller-side knobs, not these defaults.
+DEFAULT_MAX_PDF_BYTES = 64 << 20
+DEFAULT_MAX_STREAM_BYTES = 64 << 20
 
 
 class PdfError(Exception):
@@ -372,8 +386,9 @@ def _unpredict(data: bytes, predictor: int, columns: int) -> bytes:
 # document graph (P2, P3, P4, P5)
 # ---------------------------------------------------------------------------
 class _Document:
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, max_stream_bytes: int = DEFAULT_MAX_STREAM_BYTES):
         self.data = data
+        self.max_stream_bytes = max_stream_bytes
         # object locator: int = file offset; ("objstm", stm, idx) = the
         # idx-th object inside object stream ``stm`` (xref-stream type 2)
         self.offsets: dict[int, object] = {}
@@ -605,9 +620,19 @@ class _Document:
                 if str(f) != "FlateDecode":
                     raise PdfError("unsupported_filter", str(f))
                 try:
-                    body = zlib.decompress(body)
+                    # BOUNDED inflation: a zlib bomb (10 KB compressing to
+                    # gigabytes) must cost one error row, not an executor
+                    # OOM — decompress at most max_stream_bytes + 1 and
+                    # reject anything that still has input pending
+                    d = zlib.decompressobj()
+                    body = d.decompress(body, self.max_stream_bytes + 1)
                 except zlib.error as e:
                     raise PdfError("bad_stream", str(e))
+                if len(body) > self.max_stream_bytes or d.unconsumed_tail:
+                    raise PdfError(
+                        "stream_too_large",
+                        f"inflated past {self.max_stream_bytes} bytes",
+                    )
         return ("stream", sdict, body)
 
     # -- page tree ----------------------------------------------------------
@@ -796,18 +821,26 @@ def _interpret(content: bytes, fonts: dict, media_top: float, emit) -> None:
 # ---------------------------------------------------------------------------
 # public entry
 # ---------------------------------------------------------------------------
-def pdf_glyphs(payload: bytes | None):
+def pdf_glyphs(
+    payload: bytes | None,
+    max_bytes: int = DEFAULT_MAX_PDF_BYTES,
+    max_stream_bytes: int = DEFAULT_MAX_STREAM_BYTES,
+):
     """Raw PDF bytes -> (glyph_rows, error).
 
     ``glyph_rows`` is a list of (page, ch, x0, y0, x1, y1) in content-stream
     emission order (page numbers are 1-based leaf order, P5; ``glyph_id`` is
     the caller's row index per P8).  On any contract violation returns
-    ``([], code)`` with a taxonomy code — never raises."""
+    ``([], code)`` with a taxonomy code — never raises.  ``max_bytes``
+    bounds the raw payload (-> ``doc_too_large``); ``max_stream_bytes``
+    bounds every FlateDecode inflation (-> ``stream_too_large``)."""
     if payload is None or not payload.startswith(b"%PDF-"):
         return [], "not_pdf"
+    if len(payload) > max_bytes:
+        return [], "doc_too_large"
     rows: list[tuple] = []
     try:
-        doc = _Document(bytes(payload))
+        doc = _Document(bytes(payload), max_stream_bytes=max_stream_bytes)
         for page_no, (page, inherited) in enumerate(doc.pages(), start=1):
             media = doc.resolve(inherited.get("MediaBox"))
             if not (isinstance(media, list) and len(media) == 4):

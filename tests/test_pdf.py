@@ -567,3 +567,46 @@ def test_pdf_streaming_ingest(spark, tiny_dir, tmp_path):
         for r in pdf_doc_records(docs).collect()
     }
     assert got == want
+
+
+def test_resource_bounds_zlib_bomb_and_oversize():
+    """A zlib bomb in a content stream costs one error row (bounded
+    inflation), never memory; an oversized payload is rejected up front —
+    the html branch's DOC_TOO_LARGE discipline applied to PDFs."""
+    import zlib as _zlib
+
+    # bomb: ~4 KB compressing to 16 MB of content-stream bytes
+    bomb = _zlib.compress(b"BT ET " + b"\0" * (16 << 20))
+    pdf = gen._pdf_build_file(
+        random.Random(5), [b"BT ET"], inherited_attrs=True, nested_tree=False
+    )
+    # graft the bomb in as the content stream of a handmade minimal file
+    objs = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
+    )
+    c = (
+        f"4 0 obj\n<< /Length {len(bomb)} /Filter /FlateDecode >>\nstream\n".encode()
+        + bomb
+        + b"\nendstream\nendobj\n"
+    )
+    p3 = b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+    f5 = b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>\nendobj\n"
+    body = objs + p3 + c + f5
+    offs = {n: body.index(f"{n} 0 obj".encode()) for n in (1, 2, 3, 4, 5)}
+    xref_off = len(body)
+    xref = b"xref\n0 6\n0000000000 65535 f \n" + b"".join(
+        f"{offs[n]:010d} 00000 n \n".encode() for n in (1, 2, 3, 4, 5)
+    )
+    tail = f"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n{xref_off}\n%%EOF".encode()
+    bombed = body + xref + tail
+    rows, err = pdf_glyphs(bombed, max_stream_bytes=1 << 20)
+    assert (rows, err) == ([], "stream_too_large")
+    # with a roomy bound the same file parses (empty page, no glyphs)
+    rows2, err2 = pdf_glyphs(bombed, max_stream_bytes=32 << 20)
+    assert err2 is None and rows2 == []
+    # payload-size cap
+    assert pdf_glyphs(pdf, max_bytes=100) == ([], "doc_too_large")
+    assert pdf_glyphs(pdf)[1] is None
