@@ -189,7 +189,15 @@ def _png_decode_full(payload: bytes | None) -> tuple[dict, bytes | None]:
         out["error"] = "NO_IDAT"
         return out, None
     try:
-        raw = zlib.decompress(bytes(idat))
+        # BOUNDED inflation: the unfilter consumes at most (1 + w*ch) * h
+        # bytes, so anything past that is semantically dead — and a zlib
+        # bomb (small IDAT inflating to GBs) must cost an error row, not
+        # executor memory.  The hard cap covers any sane 8-bit geometry
+        # (256 MB ~ 8k x 8k RGBA); forged headers past it land on the
+        # existing truncation semantics.
+        needed = min((1 + w * ch) * h, 1 << 28)
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), needed)
     except zlib.error:
         out["error"] = "DECODE_ERROR"
         return out, None

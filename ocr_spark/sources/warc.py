@@ -56,7 +56,7 @@ def _parse_headers(block: bytes) -> dict[bytes, bytes]:
 
 
 def parse_warc_bytes(
-    payload: bytes, path: str, mode: str = "warc"
+    payload: bytes, path: str, mode: str = "warc", max_inflate: int = 4 << 30
 ) -> tuple[list[dict], int]:
     """One WARC file's bytes -> (page rows, n_bad_records).  Pure python —
     unit-testable without Spark; wrapped in mapInPandas below.
@@ -70,7 +70,15 @@ def parse_warc_bytes(
         import zlib
 
         try:
-            payload = gzip.GzipFile(fileobj=io.BytesIO(payload)).read()
+            # BOUNDED inflation: Common Crawl WARCs are ~1 GB compressed /
+            # ~5 GB raw, so 4 GiB per file covers the legitimate shape
+            # while a gzip bomb (KBs inflating without bound) costs one
+            # bad-container count instead of executor memory
+            payload = gzip.GzipFile(fileobj=io.BytesIO(payload)).read(
+                max_inflate + 1
+            )
+            if len(payload) > max_inflate:
+                return [], 1
         except (OSError, EOFError, zlib.error):
             # corrupt container counts as one bad record — zlib.error is
             # NOT an OSError: a valid magic with a corrupt deflate stream

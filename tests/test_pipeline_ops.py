@@ -1650,3 +1650,35 @@ def test_bucket_cap_adds_no_exchange(spark):
     assert ex_c == ex_u, (ex_c, ex_u)
     assert so_c == so_u, (so_c, so_u)
     assert (wi_c, wi_u) == (1, 0)
+
+
+def test_png_idat_bomb_bounded():
+    """A PNG whose tiny IDAT inflates far past the geometry's needs must
+    decode with bounded memory and unchanged semantics (the surplus bytes
+    were always ignored by the unfilter)."""
+    import struct
+    import zlib as _zlib
+
+    from ocr_spark.fixtures.generator import _png_chunk, _png_ihdr
+    from ocr_spark.operators.multimodal import _png_decode
+
+    w = h = 4
+    ch = 3
+    good_rows = b"".join(b"\x00" + bytes(range(j, j + w * ch)) for j in range(h))
+    bomb = good_rows + b"\0" * (32 << 20)  # inflates to ~32 MB
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_ihdr(w, h, 8, 2, 0)
+        + _png_chunk(b"IDAT", _zlib.compress(bomb))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = _png_decode(payload)
+    assert got["error"] is None
+    # identical to decoding without the surplus
+    clean = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_ihdr(w, h, 8, 2, 0)
+        + _png_chunk(b"IDAT", _zlib.compress(good_rows))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert got["pixel_sha256"] == _png_decode(clean)["pixel_sha256"]

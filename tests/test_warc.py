@@ -132,3 +132,18 @@ def test_parse_wet_mode_unit():
     assert bad == 0
     assert [(r["url"], r["text"]) for r in rows] == [("http://a/", "héllo\nwörld")]
     assert rows[0]["html"] is None
+
+
+def test_gzip_bomb_is_one_bad_container():
+    """A gzip bomb must cost one bad-container count, never unbounded
+    memory (bounded inflation; param'd down for the test)."""
+    import gzip as _gzip
+
+    from ocr_spark.sources.warc import parse_warc_bytes
+
+    bomb = _gzip.compress(b"\0" * (1 << 20))
+    rows, bad = parse_warc_bytes(bomb, "bomb.warc.gz", max_inflate=1 << 16)
+    assert (rows, bad) == ([], 1)
+    # under the bound the same payload just parses (and finds no records)
+    rows2, bad2 = parse_warc_bytes(bomb, "bomb.warc.gz", max_inflate=1 << 21)
+    assert rows2 == []
