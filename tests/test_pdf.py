@@ -610,3 +610,32 @@ def test_resource_bounds_zlib_bomb_and_oversize():
     # payload-size cap
     assert pdf_glyphs(pdf, max_bytes=100) == ([], "doc_too_large")
     assert pdf_glyphs(pdf)[1] is None
+
+
+def test_empty_shapes_and_glyphless_pages(spark):
+    """Edge shapes: an empty input relation, a doc whose page draws no
+    glyphs (BT ET), and a zero-page tree — all flow through the operators
+    without rows or exceptions (glyphless pages are invisible to the
+    assembly: there is no text to place)."""
+    from ocr_spark.operators.pdf_ops import (
+        pdf_doc_records,
+        pdf_to_glyphs,
+        pdf_to_page_text,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, pdf binary")
+    assert pdf_to_glyphs(empty).count() == 0
+    assert pdf_to_page_text(empty).count() == 0
+    assert pdf_doc_records(empty).count() == 0
+
+    blank = gen._pdf_build_file(
+        random.Random(2), [b"BT ET"], inherited_attrs=True, nested_tree=False
+    )
+    rows, err = pdf_glyphs(blank)
+    assert (rows, err) == ([], None)
+    one = spark.createDataFrame(
+        [(7, bytearray(blank))], "doc_id long, pdf binary"
+    )
+    recs = pdf_doc_records(one).collect()
+    assert len(recs) == 1
+    assert (recs[0]["text"], recs[0]["n_pages"], recs[0]["error"]) == ("", 0, None)
